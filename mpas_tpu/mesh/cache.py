@@ -1,0 +1,49 @@
+"""Disk cache for built meshes (host-side construction is the slow part)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from mpas_tpu.mesh.mesh import Mesh
+
+_STATIC = ["nCells", "nEdges", "nVertices", "maxEdges", "maxEdges2",
+           "vertexDegree", "on_sphere", "sphere_radius", "x_period",
+           "y_period"]
+
+
+def cache_dir():
+    d = os.environ.get("MPAS_TPU_CACHE",
+                       os.path.expanduser("~/.cache/mpas_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def save_mesh(mesh: Mesh, path: str):
+    arrays = {}
+    for f in dataclasses.fields(mesh):
+        if f.name in _STATIC:
+            continue
+        arrays[f.name] = np.asarray(getattr(mesh, f.name))
+    meta = {k: getattr(mesh, k) for k in _STATIC}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_mesh(path: str) -> Mesh:
+    with np.load(path) as z:
+        meta = json.loads(str(z["__meta__"]))
+        kw = {k: z[k] for k in z.files if k != "__meta__"}
+    return Mesh(**meta, **kw)
+
+
+def cached(name: str, builder):
+    """Build-or-load a mesh by cache key."""
+    path = os.path.join(cache_dir(), name + ".npz")
+    if os.path.exists(path):
+        return load_mesh(path)
+    mesh = builder()
+    save_mesh(mesh, path)
+    return mesh

@@ -1,0 +1,92 @@
+"""Runtime halo exchange + scatter/gather + reductions for sharded runs.
+
+TPU-native equivalent of mpas_dmpar's runtime surface (ref:
+src/framework/mpas_dmpar.F): halo exchange (:4666+) becomes a static
+gather -> all_to_all -> permutation-gather compiled into the step function;
+global reductions (:730-1371) become psum over owned-masked sums. The
+all_to_all carries every shard pair's maximal message (schedule is static);
+on real hardware XLA lowers it onto ICI. Exchange *groups* (ref: :6541+) are
+free here: multiple fields exchanged together simply stack into one
+all_to_all payload by fusing within jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpas_tpu.parallel.layout import HaloExchange, ShardedMesh
+
+AXIS = "shard"
+
+
+def halo_exchange(xch: HaloExchange, field, axis_name: str = AXIS):
+    """Refresh halo slots of a local field from their owners.
+
+    field: (n_local, ...) shard-local. Returns same shape with halo slots
+    overwritten by owner values. Pure gathers + one all_to_all.
+    """
+    send = field[xch.send_idx]                      # (P, S, ...)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=False)
+    recv_flat = recv.reshape((-1,) + field.shape[1:])  # (P*S, ...)
+    combined = jnp.concatenate([field[:xch.owned_pad], recv_flat], axis=0)
+    return combined[xch.perm]
+
+
+def psum_owned(local_vals, owned_mask, axis_name: str = AXIS):
+    """Global sum of a per-entity local field over owned entities."""
+    m = owned_mask.reshape(owned_mask.shape + (1,) * (local_vals.ndim - 1))
+    return jax.lax.psum(jnp.sum(local_vals * m), axis_name)
+
+
+def pmax_owned(local_vals, owned_mask, axis_name: str = AXIS):
+    m = owned_mask.reshape(owned_mask.shape + (1,) * (local_vals.ndim - 1))
+    return jax.lax.pmax(jnp.max(jnp.where(m > 0, local_vals, -jnp.inf)),
+                        axis_name)
+
+
+# ---------------------------------------------------------------------------
+# host-side scatter/gather between global and stacked-local fields
+# ---------------------------------------------------------------------------
+
+_KIND_SLOTS = {"cell": "cell_global", "edge": "edge_global",
+               "vertex": "vertex_global"}
+
+
+def scatter_field(smesh: ShardedMesh, global_field, kind: str):
+    """Global (n, ...) -> stacked local (P, n_local, ...)."""
+    slots = np.asarray(getattr(smesh, _KIND_SLOTS[kind]))
+    g = np.asarray(global_field)
+    out = g[np.maximum(slots, 0)]
+    dead = (slots < 0).reshape(slots.shape + (1,) * (g.ndim - 1))
+    return np.where(dead, 0, out)
+
+
+def gather_field(smesh: ShardedMesh, stacked, kind: str, n_global: int):
+    """Stacked local (P, n_local, ...) -> global (n, ...) from owned slots."""
+    slots = np.asarray(getattr(smesh, _KIND_SLOTS[kind]))
+    mask = np.asarray({"cell": smesh.owned_cell_mask,
+                       "edge": smesh.owned_edge_mask,
+                       "vertex": smesh.owned_vertex_mask}[kind]) > 0
+    stacked = np.asarray(stacked)
+    out = np.zeros((n_global,) + stacked.shape[2:], dtype=stacked.dtype)
+    for p in range(smesh.n_parts):
+        sel = mask[p]
+        out[slots[p, sel]] = stacked[p, sel]
+    return out
+
+
+def device_mesh(n_parts: int):
+    devs = jax.devices()
+    if len(devs) < n_parts:
+        raise RuntimeError(f"need {n_parts} devices, have {len(devs)}")
+    return jax.make_mesh((n_parts,), (AXIS,), devices=devs[:n_parts])
+
+
+def shard_leaves(tree):
+    """Squeeze the leading block dim shard_map leaves carry."""
+    return jax.tree.map(lambda a: a.reshape(a.shape[1:]), tree)

@@ -8,8 +8,9 @@ across decompositions, restarts, and precision modes.
 
 import os
 
-# must run before jax import
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must run before the first jax backend use (this image pre-imports jax with
+# JAX_PLATFORMS=axon from sitecustomize, so env vars alone are NOT enough —
+# jax.config.update is authoritative)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,232 @@
+"""Framework subsystem tests: timekeeping, streams/restart, namelist, log,
+timers.
+
+Parity model: the reference test core's timekeeping interval arithmetic
+tests + stream I/O round-trip tests (ref: mpas_test_core_timekeeping_tests.F,
+mpas_test_core_streams.F:38) and the compass restart_test genre (SURVEY §4).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.framework.timekeeping import (Alarm, Clock, Time, TimeInterval)
+
+
+class TestTimekeeping:
+    def test_parse_roundtrip(self):
+        for s in ("0000-01-01_00:00:00", "2000-02-28_23:59:59",
+                  "1999-12-31_12:30:00"):
+            assert Time.from_string(s).to_string() == s
+
+    def test_add_interval_day_crossing(self):
+        t = Time.from_string("0000-01-31_18:00:00")
+        t2 = t + TimeInterval.from_string("12:00:00")
+        assert t2.to_string() == "0000-02-01_06:00:00"
+
+    def test_leap_calendars(self):
+        g = Time.from_string("2000-02-28_00:00:00", "gregorian")
+        assert (g + TimeInterval.from_string("1_00:00:00")).to_string() \
+            == "2000-02-29_00:00:00"
+        nl = Time.from_string("2000-02-28_00:00:00", "gregorian_noleap")
+        assert (nl + TimeInterval.from_string("1_00:00:00")).to_string() \
+            == "2000-03-01_00:00:00"
+        d360 = Time.from_string("2000-02-28_00:00:00", "360day")
+        assert (d360 + TimeInterval.from_string("3_00:00:00")).to_string() \
+            == "2000-03-01_00:00:00"
+
+    def test_fractional_dt_exact(self):
+        """config_dt=172.8 s must accumulate exactly (500 steps = 1 day)."""
+        t = Time.from_string("0000-01-01_00:00:00")
+        dt = TimeInterval.from_seconds(172.8)
+        assert (t + dt * 500).to_string() == "0000-01-02_00:00:00"
+
+    def test_month_interval(self):
+        t = Time.from_string("2000-01-31_00:00:00", "gregorian")
+        t2 = t + TimeInterval(months=1)
+        assert t2.to_string() == "2000-02-29_00:00:00"  # clamped
+
+    def test_alarm_periodic(self):
+        start = Time.from_string("0000-01-01_00:00:00")
+        clock = Clock(start, TimeInterval.from_seconds(3600))
+        clock.add_alarm(Alarm("out", interval=TimeInterval.from_string(
+            "6:00:00"), reference=start))
+        rings = []
+        for i in range(25):
+            if clock.is_ringing("out"):
+                rings.append(i)
+                clock.reset_alarm("out")
+            clock.advance()
+        assert rings == [0, 6, 12, 18, 24]
+
+    def test_steps_until_stop(self):
+        start = Time.from_string("0000-01-01_00:00:00")
+        clock = Clock(start, TimeInterval.from_seconds(172.8),
+                      run_duration=TimeInterval.from_string("1_00:00:00"))
+        assert clock.steps_until_stop() == 500
+
+
+class TestNamelist:
+    def test_parse_file(self, tmp_path):
+        from mpas_tpu.framework.namelist import from_namelist_file
+        from mpas_tpu.cores.sw.config import SWConfig
+        nml = tmp_path / "namelist.sw"
+        nml.write_text("""&sw_model
+   config_test_case = 2
+   config_dt = 300.0
+   config_monotonic = .true.
+   config_time_integration = 'RK4'
+/
+&dimensions
+   config_nvertlevels = 1
+/
+""")
+        cfg = from_namelist_file(SWConfig, str(nml))
+        assert cfg.config_test_case == 2
+        assert cfg.config_dt == 300.0
+        assert cfg.config_monotonic is True
+        assert cfg.config_time_integration == "RK4"
+        # untouched defaults survive
+        assert cfg.config_apvm_upwinding == 0.5
+
+
+class TestStreams:
+    def _mgr(self, tmp_path, dt_s=3600.0, out_interval="6:00:00"):
+        from mpas_tpu.framework.streams import Stream, StreamManager
+        start = Time.from_string("0000-01-01_00:00:00")
+        clock = Clock(start, TimeInterval.from_seconds(dt_s))
+        mgr = StreamManager(clock, run_dir=str(tmp_path))
+        mgr.add_stream(Stream(
+            name="output", direction="output",
+            filename_template="output.$Y-$M-$D_$h.$m.$s.nc",
+            fields=["h", "u"], output_interval=out_interval))
+        return mgr, clock
+
+    def test_write_read_roundtrip(self, tmp_path):
+        mgr, clock = self._mgr(tmp_path)
+        h = np.linspace(0, 1, 10)
+        u = np.linspace(1, 2, 30)
+        provider = lambda n: (("nCells",), h) if n == "h" else (("nEdges",), u)
+        fname = mgr.write("output", provider,
+                          dims={"nCells": 10, "nEdges": 30})
+        assert fname and os.path.exists(fname)
+        data, dims, _ = mgr.read("output")
+        assert np.allclose(data["h"], h)
+        assert np.allclose(data["u"], u)
+
+    def test_alarm_gating(self, tmp_path):
+        mgr, clock = self._mgr(tmp_path)
+        provider = lambda n: (("one",), np.zeros(1))
+        writes = 0
+        for _ in range(13):
+            if mgr.write("output", provider, dims={"one": 1}):
+                writes += 1
+            clock.advance()
+        assert writes == 3  # t=0h, 6h, 12h
+
+    def test_clobber_never_modify(self, tmp_path):
+        from mpas_tpu.framework.streams import Stream, StreamManager
+        start = Time.from_string("0000-01-01_00:00:00")
+        clock = Clock(start, TimeInterval.from_seconds(3600))
+        mgr = StreamManager(clock, run_dir=str(tmp_path))
+        mgr.add_stream(Stream(name="x", direction="output",
+                              filename_template="fixed.nc", fields=["a"],
+                              output_interval="1:00:00",
+                              clobber_mode="never_modify"))
+        provider = lambda n: (("one",), np.zeros(1))
+        mgr.write("x", provider, dims={"one": 1}, force=True)
+        with pytest.raises(FileExistsError):
+            mgr.write("x", provider, dims={"one": 1}, force=True)
+
+    def test_parse_streams_xml(self, tmp_path):
+        from mpas_tpu.framework.streams import parse_streams_xml
+        xml = tmp_path / "streams.sw"
+        xml.write_text("""<streams>
+<immutable_stream name="restart" type="input;output"
+   filename_template="restart.$Y-$M-$D_$h.$m.$s.nc"
+   input_interval="initial_only" output_interval="1_00:00:00"/>
+<stream name="output" type="output" filename_template="output.nc"
+   output_interval="6:00:00">
+   <var name="h"/> <var name="u"/>
+</stream>
+</streams>""")
+        streams = parse_streams_xml(str(xml))
+        assert [s.name for s in streams] == ["restart", "output"]
+        assert streams[0].direction == "input;output"
+        assert streams[1].fields == ["h", "u"]
+
+
+class TestRestartEquivalence:
+    """compass restart_test parity: run N == run N/2 + checkpoint + resume."""
+
+    def test_sw_restart(self, sphere_mesh_small, tmp_path):
+        from mpas_tpu.mesh.mesh import to_device
+        from mpas_tpu.cores.sw import test_cases as tc
+        from mpas_tpu.cores.sw.config import SWConfig
+        from mpas_tpu.cores.sw.time_integration import run_steps
+        from mpas_tpu.framework.streams import Stream, StreamManager
+
+        mesh, state, h_s = tc.test_case_5(sphere_mesh_small)
+        cfg = SWConfig(config_dt=900.0, config_test_case=5)
+        md = to_device(mesh)
+        s0 = jax.tree.map(jnp.asarray, state)
+        hs = jnp.asarray(h_s)
+
+        full = run_steps(md, cfg, s0, hs, 10)
+
+        half = run_steps(md, cfg, s0, hs, 5)
+        # checkpoint through the stream system
+        start = Time.from_string("0000-01-01_00:00:00")
+        clock = Clock(start, TimeInterval.from_seconds(900.0))
+        clock.advance(5)
+        mgr = StreamManager(clock, run_dir=str(tmp_path))
+        mgr.add_stream(Stream(
+            name="restart", direction="input;output",
+            filename_template="restart.$Y-$M-$D_$h.$m.$s.nc",
+            fields=["u", "h", "tracers"], output_interval="1:00:00"))
+        arrays = {"u": (("nEdges",), np.asarray(half.u)),
+                  "h": (("nCells",), np.asarray(half.h)),
+                  "tracers": (("nCells", "nTracers"),
+                              np.asarray(half.tracers))}
+        mgr.write("restart", lambda n: arrays[n],
+                  dims={"nCells": mesh.nCells, "nEdges": mesh.nEdges,
+                        "nTracers": 2}, force=True)
+
+        data, _, _ = mgr.read("restart")
+        from mpas_tpu.cores.sw.state import SWState
+        resumed = SWState(u=jnp.asarray(data["u"]), h=jnp.asarray(data["h"]),
+                          tracers=jnp.asarray(data["tracers"]))
+        full2 = run_steps(md, cfg, resumed, hs, 5)
+
+        # float64 fields written/read losslessly -> bitwise-identical resume
+        assert np.array_equal(np.asarray(full.h), np.asarray(full2.h))
+        assert np.array_equal(np.asarray(full.u), np.asarray(full2.u))
+        assert np.array_equal(np.asarray(full.tracers),
+                              np.asarray(full2.tracers))
+
+
+class TestLogAndTimers:
+    def test_log_crit_raises(self, tmp_path):
+        from mpas_tpu.framework.log import LogManager, MPASLogError
+        log = LogManager("sw", run_dir=str(tmp_path))
+        log.write("hello {x}", x=42)
+        with pytest.raises(MPASLogError):
+            log.write("boom", message_type="CRIT")
+        text = open(os.path.join(str(tmp_path), "log.sw.0000.out")).read()
+        assert "hello 42" in text
+        assert "CRITICAL ERROR: boom" in text
+
+    def test_timer_nesting(self):
+        from mpas_tpu.framework.timers import TimerManager
+        tm = TimerManager()
+        with tm.timer("outer"):
+            with tm.timer("inner"):
+                pass
+            with tm.timer("inner"):
+                pass
+        table = tm.table()
+        assert "outer" in table and "inner" in table
+        assert tm.root.children["outer"].children["inner"].count == 2
