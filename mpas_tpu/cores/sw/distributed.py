@@ -24,10 +24,9 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from mpas_tpu.cores.sw.config import SWConfig
-from mpas_tpu.cores.sw.dynamics import (compute_scalar_tend, compute_tend,
-                                        solve_diagnostics)
 from mpas_tpu.cores.sw.state import SWState
-from mpas_tpu.cores.sw.time_integration import _RK_SUBSTEP, _RK_WEIGHTS
+from mpas_tpu.cores.sw.time_integration import (_RK_SUBSTEP, _RK_WEIGHTS,
+                                                _stage)
 from mpas_tpu.parallel.layout import ShardedMesh
 from mpas_tpu.parallel.runner import AXIS, halo_exchange, shard_leaves
 
@@ -53,10 +52,7 @@ def rk4_step_local(smesh_l: ShardedMesh, cfg: SWConfig, state: SWState,
     u_acc, h_acc, ct_acc = u0, h0, ct0
     provis = state
     for stage in range(4):
-        diag = solve_diagnostics(mesh, cfg, provis, dt, h_s)
-        ct_provis = provis.tracers * provis.h[:, None]
-        tend_u, tend_h = compute_tend(mesh, cfg, provis, diag, h_s)
-        tend_ct = compute_scalar_tend(mesh, cfg, provis, diag, ct_provis)
+        tend_u, tend_h, tend_ct = _stage(mesh, cfg, provis, dt, h_s)
 
         u_acc = u_acc + dt * _RK_WEIGHTS[stage] * tend_u
         h_acc = h_acc + dt * _RK_WEIGHTS[stage] * tend_h

@@ -24,6 +24,19 @@ _RK_WEIGHTS = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 _RK_SUBSTEP = (0.5, 0.5, 1.0, 0.0)
 
 
+def _stage(mesh, cfg, provis, dt, h_s):
+    """One RK-stage tendency: fused gather-batched path when available,
+    generic operator path otherwise (del4 not yet in the fused path)."""
+    if cfg.config_h_mom_eddy_visc4 <= 0.0 and not cfg.config_monotonic:
+        from mpas_tpu.cores.sw.fused import stage_tendencies
+        return stage_tendencies(mesh, cfg, provis, dt, h_s)
+    diag = solve_diagnostics(mesh, cfg, provis, dt, h_s)
+    ct_provis = provis.tracers * provis.h[:, None]
+    tend_u, tend_h = compute_tend(mesh, cfg, provis, diag, h_s)
+    tend_ct = compute_scalar_tend(mesh, cfg, provis, diag, ct_provis)
+    return tend_u, tend_h, tend_ct
+
+
 def rk4_step(mesh: Mesh, cfg: SWConfig, state: SWState, h_s, dt) -> SWState:
     """One RK4 step. Tracers advance in coupled (h*psi) form (ref: :72-78)."""
     u0, h0 = state.u, state.h
@@ -32,10 +45,7 @@ def rk4_step(mesh: Mesh, cfg: SWConfig, state: SWState, h_s, dt) -> SWState:
     u_acc, h_acc, ct_acc = u0, h0, ct0
     provis = state
     for stage in range(4):
-        diag = solve_diagnostics(mesh, cfg, provis, dt, h_s)
-        ct_provis = provis.tracers * provis.h[:, None]
-        tend_u, tend_h = compute_tend(mesh, cfg, provis, diag, h_s)
-        tend_ct = compute_scalar_tend(mesh, cfg, provis, diag, ct_provis)
+        tend_u, tend_h, tend_ct = _stage(mesh, cfg, provis, dt, h_s)
 
         u_acc = u_acc + dt * _RK_WEIGHTS[stage] * tend_u
         h_acc = h_acc + dt * _RK_WEIGHTS[stage] * tend_h

@@ -418,6 +418,10 @@ def build_mesh(cell_xyz, vertex_xyz, vertices_on_cell, *, on_sphere,
         kiteAreasOnCell=r(kiteAreasOnCell),
         angleEdge=r(angleEdge), weightsOnEdge=r(weightsOnEdge),
         meshDensity=r(mesh_density if mesh_density is not None else ones_c),
+        divW=r(edgeSignOnCell * dvEdge[edgesOnCell]),
+        keW=r(0.25 * edgesOnCellMask
+              * (dcEdge * dvEdge)[edgesOnCell]),
+        curlW=r(edgeSignOnVertex * dcEdge[edgesOnVertex]),
         invAreaCell=r(1.0 / areaCell),
         invAreaTriangle=r(1.0 / np.maximum(areaTriangle, 1e-300)),
         invDvEdge=r(1.0 / np.maximum(dvEdge, 1e-300)),

@@ -36,6 +36,13 @@ def load_mesh(path: str) -> Mesh:
     with np.load(path) as z:
         meta = json.loads(str(z["__meta__"]))
         kw = {k: z[k] for k in z.files if k != "__meta__"}
+    # derived weight bundles added after a cache was written: reconstruct
+    if "divW" not in kw:
+        kw["divW"] = kw["edgeSignOnCell"] * kw["dvEdge"][kw["edgesOnCell"]]
+        kw["keW"] = 0.25 * kw["edgesOnCellMask"] \
+            * (kw["dcEdge"] * kw["dvEdge"])[kw["edgesOnCell"]]
+        kw["curlW"] = kw["edgeSignOnVertex"] \
+            * kw["dcEdge"][kw["edgesOnVertex"]]
     return Mesh(**meta, **kw)
 
 

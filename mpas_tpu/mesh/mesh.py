@@ -103,6 +103,16 @@ class Mesh:
     invDvEdge: Any
     invDcEdge: Any
 
+    # --- precomputed stencil weight bundles (row-aligned with the maps) ---
+    # divergence:  sum_j divW[c,j] * x[edgesOnCell[c,j]]   (then * invAreaCell)
+    # kinetic en.: sum_j keW[c,j]  * u^2[edgesOnCell[c,j]] (then * invAreaCell)
+    # circulation: sum_i curlW[v,i]* u[edgesOnVertex[v,i]]
+    # Eliminates the dv/dc gathers inside the hot stencils (they ride the
+    # weight arrays instead; ref inner loops mpas_sw_time_integration.F:1205+)
+    divW: Any                 # (nCells, maxEdges) = edgeSignOnCell*dvEdge[eoc]
+    keW: Any                  # (nCells, maxEdges) = 0.25*dc*dv[eoc]*mask
+    curlW: Any                # (nVertices, vertexDegree) = sign*dcEdge[eov]
+
     # --- Coriolis (stored in mesh pool like the reference grid.nc) ---
     fEdge: Any
     fVertex: Any

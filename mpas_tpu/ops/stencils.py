@@ -43,16 +43,14 @@ def edge_divergence(mesh: Mesh, u_edge):
     div(c) = (1/A_c) * sum_j sign(c,j) * u(e_j) * dvEdge(e_j)
     """
     ue = u_edge[mesh.edgesOnCell]                      # (nCells, maxEdges, ...)
-    w = mesh.edgeSignOnCell * mesh.dvEdge[mesh.edgesOnCell]
-    acc = jnp.sum(_w(w, ue.ndim - 1) * ue, axis=1)
+    acc = jnp.sum(_w(mesh.divW, ue.ndim - 1) * ue, axis=1)
     return acc * mesh.invAreaCell.reshape((-1,) + (1,) * (acc.ndim - 1))
 
 
 def edge_circulation(mesh: Mesh, u_edge):
     """Circulation at vertices: sum_i sign(v,i) * u(e_i) * dcEdge(e_i)."""
     ue = u_edge[mesh.edgesOnVertex]
-    w = mesh.edgeSignOnVertex * mesh.dcEdge[mesh.edgesOnVertex]
-    return jnp.sum(_w(w, ue.ndim - 1) * ue, axis=1)
+    return jnp.sum(_w(mesh.curlW, ue.ndim - 1) * ue, axis=1)
 
 
 def edge_curl(mesh: Mesh, u_edge):
@@ -106,9 +104,7 @@ def tangential_velocity(mesh: Mesh, u_edge):
 def kinetic_energy_cell(mesh: Mesh, u_edge):
     """KE at cells: (1/A) sum_j 0.25*dc*dv*u^2 over edgesOnCell."""
     ue = u_edge[mesh.edgesOnCell]
-    w = 0.25 * mesh.edgesOnCellMask \
-        * (mesh.dcEdge * mesh.dvEdge)[mesh.edgesOnCell]
-    acc = jnp.sum(_w(w, ue.ndim - 1) * ue * ue, axis=1)
+    acc = jnp.sum(_w(mesh.keW, ue.ndim - 1) * ue * ue, axis=1)
     return acc * mesh.invAreaCell.reshape((-1,) + (1,) * (acc.ndim - 1))
 
 

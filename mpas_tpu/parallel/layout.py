@@ -271,6 +271,9 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     fields["edgesOnCellMask"] = local_rows(mesh.edgesOnCellMask, cell_slots,
                                            eoc_miss)
+    fields["divW"] = local_rows(mesh.divW, cell_slots, eoc_miss)
+    fields["keW"] = local_rows(mesh.keW, cell_slots, eoc_miss)
+    fields["curlW"] = local_rows(mesh.curlW, vert_slots, eov_miss)
     fields["edgeSignOnCell"] = local_rows(mesh.edgeSignOnCell, cell_slots,
                                           eoc_miss)
     fields["kiteAreasOnCell"] = local_rows(mesh.kiteAreasOnCell, cell_slots,

@@ -106,3 +106,37 @@ class TestNumericsProperties:
             errs.append(float(jnp.linalg.norm(final.h - state.h)
                               / jnp.linalg.norm(state.h)))
         assert errs[1] < errs[0]
+
+
+class TestFusedPath:
+    def test_fused_matches_generic(self, sphere_mesh_small):
+        """The gather-batched fused stage must reproduce the operator-built
+        tendencies to roundoff."""
+        from mpas_tpu.mesh.mesh import to_device
+        from mpas_tpu.cores.sw import test_cases as tc
+        from mpas_tpu.cores.sw.dynamics import (compute_scalar_tend,
+                                                compute_tend,
+                                                solve_diagnostics)
+        from mpas_tpu.cores.sw.fused import stage_tendencies
+
+        mesh, state, h_s = tc.test_case_5(sphere_mesh_small)
+        cfg = SWConfig(config_dt=900.0, config_test_case=5,
+                       config_h_mom_eddy_visc2=1.0e4)
+        md = to_device(mesh)
+        s = jax.tree.map(jnp.asarray, state)
+        hs = jnp.asarray(h_s)
+        dt = jnp.asarray(900.0)
+
+        diag = solve_diagnostics(md, cfg, s, dt, hs)
+        tu_ref, th_ref = compute_tend(md, cfg, s, diag, hs)
+        tct_ref = compute_scalar_tend(md, cfg, s, diag,
+                                      s.tracers * s.h[:, None])
+        tu, th, tct = stage_tendencies(md, cfg, s, dt, hs)
+
+        def close(a, b):
+            scale = np.max(np.abs(np.asarray(b))) + 1e-30
+            return np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale
+
+        assert close(tu, tu_ref) < 1e-13
+        assert close(th, th_ref) < 1e-13
+        assert close(tct, tct_ref) < 1e-13
