@@ -1,0 +1,49 @@
+"""Nonhydrostatic atmosphere core configuration.
+
+Names/defaults mirror the reference namelist (ref: src/core_atmosphere/
+Registry.xml:62-259). BASELINE runs use the split RK3 configuration
+(config_time_integration_order=3, dynamics_split_steps=3, 2 acoustic
+sub-steps; ref: Registry.xml:92-102 and SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AtmConfig:
+    config_dt: float = 720.0
+    config_time_integration_order: int = 3
+    config_split_dynamics_transport: bool = True
+    config_number_of_sub_steps: int = 2
+    config_dynamics_split_steps: int = 3
+    config_h_mom_eddy_visc2: float = 0.0
+    config_h_mom_eddy_visc4: float = 0.0
+    config_v_mom_eddy_visc2: float = 0.0
+    config_h_theta_eddy_visc2: float = 0.0
+    config_h_theta_eddy_visc4: float = 0.0
+    config_v_theta_eddy_visc2: float = 0.0
+    config_horiz_mixing: str = "2d_smagorinsky"
+    config_len_disp: float = 120000.0
+    config_visc4_2dsmag: float = 0.05
+    config_del4u_div_factor: float = 10.0
+    config_theta_adv_order: int = 3
+    config_scalar_advection: bool = True
+    config_positive_definite: bool = False
+    config_monotonic: bool = True
+    config_coef_3rd_order: float = 0.25
+    config_smagorinsky_coef: float = 0.125
+    config_mix_full: bool = True
+    config_epssm: float = 0.1
+    config_smdiv: float = 0.1
+    config_apvm_upwinding: float = 0.5
+    config_zd: float = 22000.0
+    config_xnutr: float = 0.2
+    config_mpas_cam_coef: float = 0.0
+    config_rayleigh_damp_u: bool = False
+    config_rayleigh_damp_u_timescale_days: float = 5.0
+    config_number_rayleigh_damp_u_levels: int = 6
+    config_h_ScaleWithMesh: bool = False
+    config_nvertlevels: int = 26
+    config_ztop: float = 30000.0

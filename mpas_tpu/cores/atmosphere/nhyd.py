@@ -1,0 +1,812 @@
+"""Nonhydrostatic split-explicit RK3 dynamics (dry core compute path).
+
+TPU-native re-design of the reference dycore internals
+(ref: src/core_atmosphere/dynamics/mpas_atm_time_integration.F):
+  solve_diagnostics      <- atm_compute_solve_diagnostics_work (:5513)
+  smagorinsky_kdiff      <- 2d_smagorinsky block of dyn_tend (:4668-4700)
+  compute_dyn_tend       <- atm_compute_dyn_tend_work (:4481)
+  vert_imp_coefs         <- atm_compute_vert_imp_coefs_work (:2012)
+  set_smlstep_pert       <- atm_set_smlstep_pert_variables_work (:2224)
+  acoustic_step          <- atm_advance_acoustic_step_work (:2447)
+  divergence_damping_3d  <- atm_divergence_damping_3d (:2726)
+  recover_large_step     <- atm_recover_large_step_variables_work (:2909)
+
+Layout: levels minor (lanes); interfaces are arrays of nz+1. All horizontal
+stencils are destination-side gathers batched over the vertical, so each
+gather row carries nz (or nz+1) lanes — the gather cost amortizes over the
+whole column (the design reason the reference keeps columns on-rank;
+SURVEY.md §5.7). Scatter-free throughout. Dry path: cqu=cqw=1, qtot=0,
+rt_diabatic_tend=0; moist coefficients plug in via the `cqu`/`cqw` args.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpas_tpu.constants import cp, cv, gravity, omega, p0, rgas
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.setup import AtmGrid
+
+RCV = rgas / (cp - rgas)
+C2 = cp * RCV
+SECONDS_PER_DAY = 86400.0
+CURVATURE = True  # debug kill-switch for the spherical curvature terms
+# instability-bisection switches (all True in production)
+DBG = {"q": True, "ke": True, "hdivu": True, "uvert": True, "thadv": True,
+       "thvert": True, "wadv": True, "wvert": True, "apgrad": True,
+       "ueuler": True, "weuler": True, "thpickup": True, "tsflux": True}
+
+
+# ---------------------------------------------------------------------------
+# vertical helpers (levels k=0..nz-1; interfaces i=0..nz)
+# ---------------------------------------------------------------------------
+
+def to_interface(x, fzm, fzp):
+    """Level field -> interface field (0 at bottom/top).
+    interface i (1..nz-1): fzm[i]*x[i] + fzp[i]*x[i-1]."""
+    nz = x.shape[-1]
+    mid = fzm[1:nz] * x[..., 1:] + fzp[1:nz] * x[..., :-1]
+    zero = jnp.zeros_like(x[..., :1])
+    return jnp.concatenate([zero, mid, zero], axis=-1)
+
+
+def flux3_vertical(x, mass_int, fzm, fzp, coef3):
+    """3rd/4th-order vertical flux of level field x with interface mass flux.
+
+    Returns interface array (nz+1): 0 at ends, 2nd-order at i=1 and i=nz-1,
+    flux3 at i=2..nz-2 (ref: the wduz/wdtz local statement functions,
+    mpas_atm_time_integration.F:4658-4663 and usages)."""
+    nz = x.shape[-1]
+    second = mass_int[..., 1:nz] * (fzm[1:nz] * x[..., 1:]
+                                    + fzp[1:nz] * x[..., :-1])
+    # flux3 interior i=2..nz-2: stencil x[i-2], x[i-1], x[i], x[i+1]
+    qm2 = x[..., 0:nz - 3]
+    qm1 = x[..., 1:nz - 2]
+    qi = x[..., 2:nz - 1]
+    qp1 = x[..., 3:nz]
+    m = mass_int[..., 2:nz - 1]
+    f4 = m * (7.0 * (qi + qm1) - (qp1 + qm2)) / 12.0
+    f3 = f4 + coef3 * jnp.abs(m) * ((qp1 - qm2) - 3.0 * (qi - qm1)) / 12.0
+    zero = jnp.zeros_like(x[..., :1])
+    return jnp.concatenate([zero, second[..., :1], f3,
+                            second[..., nz - 2:nz - 1], zero], axis=-1)
+
+
+def d_interface(flux_int, rdzw):
+    """-d(flux)/dzeta at levels: returns (flux[i+1]-flux[i])*rdzw[k]."""
+    return (flux_int[..., 1:] - flux_int[..., :-1]) * rdzw
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+# ---------------------------------------------------------------------------
+
+class AtmSolveDiag(NamedTuple):
+    rho_edge: Any       # (nE, nz)
+    ke: Any             # (nC, nz)
+    divergence: Any     # (nC, nz)
+    vorticity: Any      # (nV, nz)
+    pv_edge: Any        # (nE, nz)
+    v: Any              # (nE, nz) tangential velocity
+
+
+def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
+                      reconstruct_v: bool = True, v_prev=None):
+    """ref: atm_compute_solve_diagnostics_work (:5513). h == rho_zz here."""
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    v1, v2 = mesh.verticesOnEdge[:, 0], mesh.verticesOnEdge[:, 1]
+
+    rho_edge = 0.5 * (rho_zz[c1] + rho_zz[c2])
+    ke_edge = (mesh.dcEdge * mesh.dvEdge)[:, None] * u * u
+
+    vorticity = jnp.sum(mesh.curlW[..., None] * u[mesh.edgesOnVertex], axis=1) \
+        * mesh.invAreaTriangle[:, None]
+    divergence = jnp.sum(mesh.divW[..., None] * u[mesh.edgesOnCell], axis=1) \
+        * mesh.invAreaCell[:, None]
+    ke = 0.25 * jnp.sum(mesh.edgesOnCellMask[..., None]
+                        * ke_edge[mesh.edgesOnCell], axis=1) \
+        * mesh.invAreaCell[:, None]
+
+    # Hollingsworth correction (ref :5607-5652): blend cell KE with
+    # vertex-remapped KE, ke_fact = 1 - 0.375
+    ke_vertex = 0.25 * jnp.sum(ke_edge[mesh.edgesOnVertex], axis=1) \
+        * mesh.invAreaTriangle[:, None]
+    ke_fact = 1.0 - 0.375
+    ke = ke_fact * ke + (1.0 - ke_fact) \
+        * jnp.sum(grid.mesh.kiteAreasOnCell[..., None]
+                  * ke_vertex[mesh.verticesOnCell], axis=1) \
+        * mesh.invAreaCell[:, None]
+
+    if reconstruct_v or v_prev is None:
+        v = jnp.sum(mesh.weightsOnEdge[..., None] * u[mesh.edgesOnEdge],
+                    axis=1)
+    else:
+        v = v_prev
+
+    pv_vertex = mesh.fVertex[:, None] + vorticity       # no 1/rho (ref :5707)
+    pv_edge = 0.5 * (pv_vertex[v1] + pv_vertex[v2])
+    if cfg.config_apvm_upwinding > 0.0:
+        pv_cell = jnp.sum(mesh.kiteAreasOnCell[..., None]
+                          * pv_vertex[mesh.verticesOnCell], axis=1) \
+            * mesh.invAreaCell[:, None]
+        gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
+        gradPVn = (pv_cell[c2] - pv_cell[c1]) * mesh.invDcEdge[:, None]
+        r = cfg.config_apvm_upwinding * dt
+        pv_edge = pv_edge - r * (v * gradPVt + u * gradPVn)
+
+    return AtmSolveDiag(rho_edge=rho_edge, ke=ke, divergence=divergence,
+                        vorticity=vorticity, pv_edge=pv_edge, v=v)
+
+
+def smagorinsky_kdiff(grid: AtmGrid, cfg: AtmConfig, u, v, dt):
+    """2d_smagorinsky eddy viscosity (ref :4668-4690)."""
+    mesh = grid.mesh
+    ue = u[mesh.edgesOnCell]
+    ve = v[mesh.edgesOnCell]
+    d_diag = jnp.sum(grid.defc_a[..., None] * ue
+                     - grid.defc_b[..., None] * ve, axis=1)
+    d_off = jnp.sum(grid.defc_b[..., None] * ue
+                    + grid.defc_a[..., None] * ve, axis=1)
+    ls = cfg.config_smagorinsky_coef * cfg.config_len_disp
+    return jnp.minimum(ls * ls * jnp.sqrt(d_diag ** 2 + d_off ** 2),
+                       0.01 * cfg.config_len_disp ** 2 / dt)
+
+
+def reconstruct_cell_winds(grid: AtmGrid, u):
+    """Cell-centered (zonal, meridional) winds via per-cell LSQ weights
+    (TPU-native replacement for the reference RBF reconstruction that fills
+    ur_cell/vr_cell; ref: mpas_vector_reconstruction.F:195,
+    mpas_atm_time_integration.F:4343).
+
+    Returns (ur_cell, vr_cell) with shape (nCells, nz)."""
+    ue = u[grid.mesh.edgesOnCell]                       # (nC, mE, nz)
+    ur = jnp.sum(grid.recon_zonal[..., None] * ue, axis=1)
+    vr = jnp.sum(grid.recon_merid[..., None] * ue, axis=1)
+    return ur, vr
+
+
+def advective_flux_edge(grid: AtmGrid, field_cell, ru_for_sign):
+    """3rd/4th-order horizontal edge value * dvEdge of a cell field
+    (ref: the adv_coefs flux loops :5020-5035, :5199-5214).
+    flux[e,k] = sum_j (adv_coefs[e,j] + sign(ru[e,k])*adv_coefs_3rd[e,j])
+                * field[advCells[e,j], k]
+    """
+    g = field_cell[grid.advCellsForEdge]                # (nE, N_ADV, K)
+    base = jnp.sum(grid.adv_coefs[..., None] * g, axis=1)
+    third = jnp.sum(grid.adv_coefs_3rd[..., None] * g, axis=1)
+    return base + jnp.sign(ru_for_sign) * third
+
+
+# ---------------------------------------------------------------------------
+# large-step tendencies (ref: atm_compute_dyn_tend_work :4481)
+# ---------------------------------------------------------------------------
+
+class EulerTends(NamedTuple):
+    """Forward-Euler mixing+pgf tendencies computed on rk_step 1 and reused
+    (ref: 'mixing terms are integrated using forward-Euler' :4618)."""
+    tend_u_euler: Any
+    tend_w_euler: Any
+    tend_theta_euler: Any
+    kdiff: Any
+    dpdz: Any
+    tend_rho: Any
+
+
+def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
+                     u, w, theta_m, rho_zz, diag: AtmSolveDiag,
+                     ru, rw, ru_save, rw_save, theta_m_save, rho_p_save,
+                     pressure_p, ur_cell, vr_cell,
+                     euler: EulerTends | None, cqu=None, cqw=None):
+    """Returns (tend_u, tend_rho, tend_theta, tend_w_raw, h_divergence,
+    euler). tend_w_raw is the physical-w tendency before the omega
+    conversion of set_smlstep_pert_variables."""
+    mesh = grid.mesh
+    vg = grid.vert
+    nz = vg.nz
+    fzm, fzp, rdzw, rdzu = vg.fzm, vg.fzp, vg.rdzw, vg.rdzu
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    v1, v2 = mesh.verticesOnEdge[:, 0], mesh.verticesOnEdge[:, 1]
+    inv_r_earth = 1.0 / mesh.sphere_radius if mesh.on_sphere else 0.0
+
+    # --- h_divergence (ref :4706-4729) -------------------------------------
+    h_divergence = jnp.sum(mesh.divW[..., None] * ru[mesh.edgesOnCell],
+                           axis=1) * mesh.invAreaCell[:, None]
+
+    # --- rk_step 1: tend_rho, dpdz, kdiff (ref :4737-4766) -----------------
+    if rk_step == 1:
+        tend_rho = -h_divergence - rdzw * (rw[:, 1:] - rw[:, :-1])
+        dpdz = -gravity * rho_p_save          # dry: qtot=0 (ref :4763)
+        if cfg.config_horiz_mixing == "2d_smagorinsky":
+            kdiff = smagorinsky_kdiff(grid, cfg, u, diag.v, dt)
+            h_mom_visc4 = cfg.config_visc4_2dsmag * cfg.config_len_disp ** 3
+            h_theta_visc4 = h_mom_visc4
+        else:
+            kdiff = jnp.full_like(h_divergence, cfg.config_h_theta_eddy_visc2)
+            h_mom_visc4 = cfg.config_h_mom_eddy_visc4
+            h_theta_visc4 = cfg.config_h_theta_eddy_visc4
+    else:
+        tend_rho = euler.tend_rho
+        dpdz = euler.dpdz
+        kdiff = euler.kdiff
+        h_mom_visc4 = cfg.config_visc4_2dsmag * cfg.config_len_disp ** 3 \
+            if cfg.config_horiz_mixing == "2d_smagorinsky" \
+            else cfg.config_h_mom_eddy_visc4
+        h_theta_visc4 = h_mom_visc4 \
+            if cfg.config_horiz_mixing == "2d_smagorinsky" \
+            else cfg.config_h_theta_eddy_visc4
+
+    # --- u tendency (ref :4770-4830) ----------------------------------------
+    # vertical transport of u: wduz with rw averaged to edges
+    rw_edge = 0.5 * (rw[c1] + rw[c2])                   # (nE, nz+1)
+    wduz = flux3_vertical(u, rw_edge, fzm, fzp, 1.0)
+    tend_u = -rdzw * (wduz[:, 1:] - wduz[:, :-1])
+
+    # nonlinear Coriolis q (no h_edge factor, ref :4803-4813)
+    eoe = mesh.edgesOnEdge
+    workpv = 0.5 * (diag.pv_edge[:, None, :] + diag.pv_edge[eoe])
+    q = jnp.sum(mesh.weightsOnEdge[..., None] * u[eoe] * workpv, axis=1)
+
+    if not DBG["uvert"]:
+        tend_u = tend_u * 0.0
+    if not DBG["q"]:
+        q = q * 0.0
+    dke = (diag.ke[c2] - diag.ke[c1]) * mesh.invDcEdge[:, None]
+    if not DBG["ke"]:
+        dke = dke * 0.0
+    hdivu = u * 0.5 * (h_divergence[c1] + h_divergence[c2])
+    if not DBG["hdivu"]:
+        hdivu = hdivu * 0.0
+    tend_u = tend_u + diag.rho_edge * (q - dke) - hdivu
+
+    if mesh.on_sphere and CURVATURE:  # CURVATURE terms (ref :4815-4823)
+        w4 = 0.25 * (w[c1, :-1] + w[c1, 1:] + w[c2, :-1] + w[c2, 1:])
+        tend_u = tend_u - 2.0 * omega \
+            * jnp.cos(mesh.angleEdge)[:, None] \
+            * jnp.cos(mesh.latEdge)[:, None] * diag.rho_edge * w4 \
+            - u * w4 * diag.rho_edge * inv_r_earth
+
+    # --- u mixing (rk 1 only; ref :4836-4975) -------------------------------
+    if rk_step == 1:
+        if cqu is None:
+            cqu_ = 1.0
+        else:
+            cqu_ = cqu
+        zz_edge = 0.5 * (grid.zz[c1] + grid.zz[c2])
+        tend_u_euler = -cqu_ * (
+            (pressure_p[c2] - pressure_p[c1]) * mesh.invDcEdge[:, None]
+            / zz_edge - 0.5 * grid.zxu * (dpdz[c1] + dpdz[c2]))
+
+        r_dc = mesh.invDcEdge[:, None]
+        r_dv = jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
+        delsq_u = (diag.divergence[c2] - diag.divergence[c1]) * r_dc \
+            - (diag.vorticity[v2] - diag.vorticity[v1]) * r_dv
+        kdiffu = 0.5 * (kdiff[c1] + kdiff[c2])
+        tend_u_euler = tend_u_euler + diag.rho_edge * kdiffu * delsq_u \
+            * mesh.meshScalingDel2[:, None]
+
+        if h_mom_visc4 > 0.0:  # del4 (ref :4884-4947)
+            delsq_vort = jnp.sum(mesh.curlW[..., None]
+                                 * delsq_u[mesh.edgesOnVertex], axis=1) \
+                * mesh.invAreaTriangle[:, None]
+            delsq_div = jnp.sum(mesh.divW[..., None]
+                                * delsq_u[mesh.edgesOnCell], axis=1) \
+                * mesh.invAreaCell[:, None]
+            ms4 = mesh.meshScalingDel4[:, None] * h_mom_visc4
+            u_diff4 = diag.rho_edge * (
+                (delsq_div[c2] - delsq_div[c1]) * r_dc
+                * cfg.config_del4u_div_factor
+                - (delsq_vort[v2] - delsq_vort[v1]) * r_dv) * ms4
+            tend_u_euler = tend_u_euler - u_diff4
+
+        if cfg.config_v_mom_eddy_visc2 > 0.0:  # vertical u mixing (ref :4950)
+            zgrid_e = 0.5 * (grid.zgrid[c1] + grid.zgrid[c2])  # (nE, nz+1)
+            zmid = 0.5 * (zgrid_e[:, :-1] + zgrid_e[:, 1:])    # (nE, nz)
+            dzp = zmid[:, 2:] - zmid[:, 1:-1]
+            dzm = zmid[:, 1:-1] - zmid[:, :-2]
+            lap = ((u[:, 2:] - u[:, 1:-1]) / dzp
+                   - (u[:, 1:-1] - u[:, :-2]) / dzm) / (0.5 * (dzp + dzm))
+            lap = jnp.pad(lap, ((0, 0), (1, 1)))
+            tend_u_euler = tend_u_euler + diag.rho_edge \
+                * cfg.config_v_mom_eddy_visc2 * lap
+    else:
+        tend_u_euler = euler.tend_u_euler
+
+    if cfg.config_rayleigh_damp_u:
+        nlev = cfg.config_number_rayleigh_damp_u_levels
+        coef_inv = 1.0 / (nlev * cfg.config_rayleigh_damp_u_timescale_days
+                          * SECONDS_PER_DAY)
+        kk = jnp.arange(nz)
+        coef = jnp.where(kk >= nz - nlev, (kk - (nz - nlev - 1)) * coef_inv,
+                         0.0)
+        tend_u = tend_u - diag.rho_edge * u * coef
+
+    if not DBG["ueuler"]:
+        tend_u_euler = tend_u_euler * 0.0
+    tend_u = tend_u + tend_u_euler
+
+    # --- w tendency (ref :5017-5233) ----------------------------------------
+    # horizontal advection of w at interfaces
+    ru_int = to_interface(ru, fzm, fzp)                  # (nE, nz+1)
+    flux_w = advective_flux_edge(grid, w, ru_int)        # (nE, nz+1)
+    gw = (ru_int * flux_w)[mesh.edgesOnCell]             # (nC, mE, nz+1)
+    tend_w = -jnp.sum(mesh.edgeSignOnCell[..., None] * gw, axis=1)
+    if not DBG["wadv"]:
+        tend_w = tend_w * 0.0
+
+    if mesh.on_sphere and CURVATURE:  # CURVATURE for w (ref :5074-5086)
+        rho_int = to_interface(rho_zz, fzm, fzp)
+        ur_int = to_interface(ur_cell, fzm, fzp)
+        vr_int = to_interface(vr_cell, fzm, fzp)
+        curv_w = rho_int * (ur_int ** 2 + vr_int ** 2) * inv_r_earth \
+            + 2.0 * omega * jnp.cos(mesh.latCell)[:, None] * ur_int * rho_int
+        # DELIBERATE DEVIATION from the reference: in the reference source
+        # these terms are accumulated into tend_w BEFORE the *invAreaCell
+        # scaling (ref :5076 vs :5173), which divides them by cell area and
+        # effectively removes the w-side of the Coriolis curvature pair.
+        # The resulting one-way u<-w coupling (-2 Omega cos(phi) w in tend_u
+        # with no +2 Omega cos(phi) u counterpart in tend_w) is linearly
+        # unstable in our discrete system (verified: uniform rest state
+        # e-folds in ~2 steps with it, is exactly neutral without it). We
+        # apply the physically/energetically consistent pair instead: the
+        # w-curvature terms are added AFTER the area scaling (see below).
+    else:
+        curv_w = None
+
+    # w mixing (rk 1; ref :5094-5160)
+    if rk_step == 1:
+        rho_edge_int = jnp.concatenate(
+            [jnp.zeros_like(diag.rho_edge[:, :1]),
+             diag.rho_edge[:, 1:] + diag.rho_edge[:, :-1],
+             jnp.zeros_like(diag.rho_edge[:, :1])], axis=-1)  # (nE, nz+1)
+        dw = w[c2] - w[c1]
+        wflux = 0.5 * (mesh.dvEdge * mesh.invDcEdge)[:, None] \
+            * rho_edge_int * dw                         # edge_sign applied in sum
+        gwf = wflux[mesh.edgesOnCell]
+        delsq_w = jnp.sum(mesh.edgeSignOnCell[..., None] * gwf, axis=1) \
+            * mesh.invAreaCell[:, None]
+        kd4 = jnp.concatenate(
+            [jnp.zeros_like(kdiff[:, :1]), kdiff[:, 1:] + kdiff[:, :-1],
+             jnp.zeros_like(kdiff[:, :1])], axis=-1)    # (nC, nz+1) sum pair
+        kdiff_int_e = 0.25 * (kd4[c1] + kd4[c2])
+        wflux_mix = wflux * mesh.meshScalingDel2[:, None] * kdiff_int_e
+        gmx = wflux_mix[mesh.edgesOnCell]
+        tend_w_euler = jnp.sum(mesh.edgeSignOnCell[..., None] * gmx, axis=1) \
+            * mesh.invAreaCell[:, None]
+        if h_mom_visc4 > 0.0:
+            dsw = (delsq_w[c2] - delsq_w[c1]) \
+                * (mesh.dvEdge * mesh.invDcEdge)[:, None]
+            gd4 = dsw[mesh.edgesOnCell]
+            tend_w_euler = tend_w_euler - h_mom_visc4 \
+                * jnp.sum((mesh.edgeSignOnCell
+                           * mesh.meshScalingDel4[mesh.edgesOnCell])[..., None]
+                          * gd4, axis=1) * mesh.invAreaCell[:, None]
+        tend_w_euler = tend_w_euler.at[:, 0].set(0.0).at[:, nz].set(0.0)
+    else:
+        tend_w_euler = euler.tend_w_euler
+
+    # vertical advection of w (ref :5163-5177)
+    rw_lev = 0.5 * (rw[:, 1:] + rw[:, :-1])             # (nC, nz) level flux
+    # wdwz lives at levels; stencil on interface field w
+    second_b = 0.25 * (rw[:, 1:2] + rw[:, 0:1]) * (w[:, 1:2] + w[:, 0:1])
+    second_t = 0.25 * (rw[:, nz - 1:nz] + rw[:, nz - 2:nz - 1]) \
+        * (w[:, nz - 1:nz] + w[:, nz - 2:nz - 1])
+    qm2 = w[:, 0:nz - 3]
+    qm1 = w[:, 1:nz - 2]
+    qi = w[:, 2:nz - 1]
+    qp1 = w[:, 3:nz]
+    # wdwz[j] (j=2..nz-2) needs mass 0.5*(rw[j]+rw[j-1]) = rw_lev[j-1]
+    m = rw_lev[:, 1:nz - 2]
+    f4 = m * (7.0 * (qi + qm1) - (qp1 + qm2)) / 12.0
+    f3 = f4 + 1.0 * jnp.abs(m) * ((qp1 - qm2) - 3.0 * (qi - qm1)) / 12.0
+    zerol = jnp.zeros_like(w[:, :1])
+    # wdwz entries j=0..nz: [0, 2nd@j=1, flux3 j=2..nz-2, 2nd@j=nz-1, 0]
+    wdwz = jnp.concatenate([zerol, second_b, f3, second_t, zerol], axis=-1)
+    # tend_w at interface i=1..nz-1 -= rdzu[i]*(wdwz[i+1]-wdwz[i])
+    tend_w = tend_w * mesh.invAreaCell[:, None]
+    if curv_w is not None:
+        tend_w = tend_w + curv_w
+    vert = rdzu[1:nz] * (wdwz[:, 2:nz + 1] - wdwz[:, 1:nz])
+    if not DBG["wvert"]:
+        vert = vert * 0.0
+    tend_w = tend_w.at[:, 1:nz].add(-vert)
+    tend_w = tend_w.at[:, 0].set(0.0).at[:, nz].set(0.0)
+
+    if rk_step == 1:
+        if cqw is None:
+            cqw_ = 1.0
+        else:
+            cqw_ = cqw
+        dpdz_int = to_interface(dpdz, fzm, fzp)
+        pgrad = jnp.concatenate(
+            [jnp.zeros_like(pressure_p[:, :1]),
+             (pressure_p[:, 1:] - pressure_p[:, :-1]) * rdzu[1:nz],
+             jnp.zeros_like(pressure_p[:, :1])], axis=-1)
+        tend_w_euler = tend_w_euler - cqw_ * (pgrad - dpdz_int)
+        tend_w_euler = tend_w_euler.at[:, 0].set(0.0).at[:, nz].set(0.0)
+        if cfg.config_v_mom_eddy_visc2 > 0.0:  # (ref :5212-5222)
+            lap = ((w[:, 2:] - w[:, 1:-1]) * rdzw[1:]
+                   - (w[:, 1:-1] - w[:, :-2]) * rdzw[:-1])
+            lap = jnp.pad(lap, ((0, 0), (1, 1))) * rdzu
+            rho_int2 = to_interface(rho_zz, fzm, fzp)
+            rho_pair = jnp.concatenate(
+                [jnp.zeros_like(rho_zz[:, :1]),
+                 0.5 * (rho_zz[:, 1:] + rho_zz[:, :-1]),
+                 jnp.zeros_like(rho_zz[:, :1])], axis=-1)
+            tend_w_euler = tend_w_euler + cfg.config_v_mom_eddy_visc2 \
+                * rho_pair * lap
+
+    if not DBG["weuler"]:
+        tend_w_euler = tend_w_euler * 0.0
+    tend_w = tend_w + tend_w_euler
+
+    # --- theta tendency (ref :5239-5410) ------------------------------------
+    flux_t = advective_flux_edge(grid, theta_m, ru)      # (nE, nz)
+    gt = (ru * flux_t)[mesh.edgesOnCell]
+    tend_theta = -jnp.sum(mesh.edgeSignOnCell[..., None] * gt, axis=1)
+    if not DBG["thadv"]:
+        tend_theta = tend_theta * 0.0
+
+    if rk_step > 1 and DBG["thpickup"]:  # perturbation-flux pickup (ref :5252-5266)
+        th_save_edge = 0.5 * (theta_m_save[c1] + theta_m_save[c2])
+        pf = (mesh.dvEdge[:, None] * (ru_save - ru) * th_save_edge)
+        gpf = pf[mesh.edgesOnCell]
+        tend_theta = tend_theta \
+            - jnp.sum(mesh.edgeSignOnCell[..., None] * gpf, axis=1)
+
+    if rk_step == 1:  # theta mixing (ref :5272-5310)
+        dth = (theta_m[c2] - theta_m[c1]) \
+            * (mesh.dvEdge * mesh.invDcEdge)[:, None] * diag.rho_edge
+        gth = dth[mesh.edgesOnCell]
+        delsq_theta = jnp.sum(mesh.edgeSignOnCell[..., None] * gth, axis=1) \
+            * mesh.invAreaCell[:, None]
+        pr_scale = mesh.meshScalingDel2[:, None] / 1.0  # prandtl = 1
+        mixth = dth * 0.5 * (kdiff[c1] + kdiff[c2]) * pr_scale
+        gmth = mixth[mesh.edgesOnCell]
+        tend_theta_euler = jnp.sum(mesh.edgeSignOnCell[..., None] * gmth,
+                                   axis=1) * mesh.invAreaCell[:, None]
+        if h_theta_visc4 > 0.0:
+            dst = (delsq_theta[c2] - delsq_theta[c1]) \
+                * (mesh.dvEdge * mesh.invDcEdge)[:, None]
+            gds = dst[mesh.edgesOnCell]
+            tend_theta_euler = tend_theta_euler - h_theta_visc4 * jnp.sum(
+                (mesh.edgeSignOnCell
+                 * mesh.meshScalingDel4[mesh.edgesOnCell])[..., None] * gds,
+                axis=1) * mesh.invAreaCell[:, None]
+        if cfg.config_v_theta_eddy_visc2 > 0.0:  # (ref :5342-5381)
+            zmid = 0.5 * (grid.zgrid[:, :-1] + grid.zgrid[:, 1:])
+            dzp = zmid[:, 2:] - zmid[:, 1:-1]
+            dzm = zmid[:, 1:-1] - zmid[:, :-2]
+            lap = ((theta_m[:, 2:] - theta_m[:, 1:-1]) / dzp
+                   - (theta_m[:, 1:-1] - theta_m[:, :-2]) / dzm) \
+                / (0.5 * (dzp + dzm))
+            lap = jnp.pad(lap, ((0, 0), (1, 1)))
+            tend_theta_euler = tend_theta_euler \
+                + cfg.config_v_theta_eddy_visc2 * rho_zz * lap
+    else:
+        tend_theta_euler = euler.tend_theta_euler
+
+    # vertical advection of theta with rtheta_pp redefinition (ref :5316-5336)
+    th_save_int = to_interface(theta_m_save, fzm, fzp)
+    wdtz = flux3_vertical(theta_m, rw, fzm, fzp, cfg.config_coef_3rd_order)
+    corr = (rw_save - rw) * th_save_int
+    # boundary overrides: i=1 uses 2nd-order rw (already), i=nz-1 uses
+    # rw_save only (ref: k=nVertLevels wdtz = rw_save*(...))
+    th_int = to_interface(theta_m, fzm, fzp)
+    wdtz = wdtz + corr
+    wdtz = wdtz.at[:, nz - 1].set(rw_save[:, nz - 1] * th_int[:, nz - 1])
+
+    if not DBG["thvert"]:
+        wdtz = wdtz * 0.0
+    tend_theta = tend_theta * mesh.invAreaCell[:, None] \
+        - rdzw * (wdtz[:, 1:] - wdtz[:, :-1])
+    tend_theta = tend_theta + tend_theta_euler
+
+    new_euler = EulerTends(tend_u_euler=tend_u_euler,
+                           tend_w_euler=tend_w_euler,
+                           tend_theta_euler=tend_theta_euler,
+                           kdiff=kdiff, dpdz=dpdz, tend_rho=tend_rho)
+    return tend_u, tend_rho, tend_theta, tend_w, h_divergence, new_euler
+
+
+# ---------------------------------------------------------------------------
+# acoustic-step machinery
+# ---------------------------------------------------------------------------
+
+class VertImpCoefs(NamedTuple):
+    cofrz: Any        # (nz,)
+    cofwr: Any        # (nC, nz+1) interfaces (0 ends)
+    cofwz: Any        # (nC, nz+1)
+    coftz: Any        # (nC, nz+1)
+    cofwt: Any        # (nC, nz)
+    a_tri: Any        # (nC, nz+1)
+    alpha_tri: Any    # (nC, nz+1)
+    gamma_tri: Any    # (nC, nz+1)
+
+
+def vert_imp_coefs(grid: AtmGrid, cfg: AtmConfig, dts, theta_m, exner,
+                   rtheta_p, qtot=0.0, cqw=1.0) -> VertImpCoefs:
+    """ref: atm_compute_vert_imp_coefs_work (:2012)."""
+    vg = grid.vert
+    nz = vg.nz
+    fzm, fzp, rdzw, rdzu = vg.fzm, vg.fzp, vg.rdzw, vg.rdzu
+    zz = grid.zz
+    dtseps = 0.5 * dts * (1.0 + cfg.config_epssm)
+
+    cofrz = dtseps * rdzw
+    zz_int = fzm[1:nz] * zz[:, 1:] + fzp[1:nz] * zz[:, :-1]
+    p_int = fzm[1:nz] * exner[:, 1:] + fzp[1:nz] * exner[:, :-1]
+    t_int = fzm[1:nz] * theta_m[:, 1:] + fzp[1:nz] * theta_m[:, :-1]
+    # cqw is defined at interfaces (moist); dry path passes the scalar 1.0
+    cqw_int = cqw[:, 1:nz] if getattr(cqw, "ndim", 0) > 1 else cqw
+
+    zpad = jnp.zeros_like(zz[:, :1])
+    cofwr = jnp.concatenate([zpad, 0.5 * dtseps * gravity * zz_int, zpad], -1)
+    cofwz = jnp.concatenate(
+        [zpad, dtseps * C2 * zz_int * rdzu[1:nz] * cqw_int * p_int, zpad], -1)
+    coftz = jnp.concatenate([zpad, dtseps * t_int, zpad], -1)
+    cofwt = 0.5 * dtseps * RCV * zz * gravity * grid.rho_base \
+        / (1.0 + qtot) * exner \
+        / ((grid.rtheta_base + rtheta_p) * grid.exner_base)
+
+    # tridiagonal coefficients at interfaces i=1..nz-1 (ref :2092-2121)
+    a_list = [jnp.zeros_like(zpad)]
+    b_list = [jnp.ones_like(zpad)]
+    c_list = [jnp.zeros_like(zpad)]
+    for i in range(1, nz):
+        a_i = -cofwz[:, i:i+1] * coftz[:, i-1:i] * rdzw[i-1] * zz[:, i-1:i] \
+            + cofwr[:, i:i+1] * cofrz[i-1] \
+            - cofwt[:, i-1:i] * coftz[:, i-1:i] * rdzw[i-1]
+        b_i = 1.0 + cofwz[:, i:i+1] * (coftz[:, i:i+1] * rdzw[i] * zz[:, i:i+1]
+                                       + coftz[:, i:i+1] * rdzw[i-1]
+                                       * zz[:, i-1:i]) \
+            - coftz[:, i:i+1] * (cofwt[:, i:i+1] * rdzw[i]
+                                 - cofwt[:, i-1:i] * rdzw[i-1]) \
+            + cofwr[:, i:i+1] * (cofrz[i] - cofrz[i-1])
+        c_i = -cofwz[:, i:i+1] * coftz[:, i+1:i+2] * rdzw[i] * zz[:, i:i+1] \
+            - cofwr[:, i:i+1] * cofrz[i] \
+            + cofwt[:, i:i+1] * coftz[:, i+1:i+2] * rdzw[i]
+        a_list.append(a_i)
+        b_list.append(b_i)
+        c_list.append(c_i)
+    a_tri = jnp.concatenate(a_list + [jnp.zeros_like(zpad)], -1)
+    b_tri = jnp.concatenate(b_list + [jnp.ones_like(zpad)], -1)
+    c_tri = jnp.concatenate(c_list + [jnp.zeros_like(zpad)], -1)
+
+    alpha_list = [jnp.zeros_like(zpad)]
+    gamma_list = [jnp.zeros_like(zpad)]
+    for i in range(1, nz):
+        alpha_i = 1.0 / (b_tri[:, i:i+1]
+                         - a_tri[:, i:i+1] * gamma_list[i-1])
+        gamma_list.append(c_tri[:, i:i+1] * alpha_i)
+        alpha_list.append(alpha_i)
+    alpha_tri = jnp.concatenate(alpha_list + [jnp.zeros_like(zpad)], -1)
+    gamma_tri = jnp.concatenate(gamma_list + [jnp.zeros_like(zpad)], -1)
+
+    return VertImpCoefs(cofrz=cofrz, cofwr=cofwr, cofwz=cofwz, coftz=coftz,
+                        cofwt=cofwt, a_tri=a_tri, alpha_tri=alpha_tri,
+                        gamma_tri=gamma_tri)
+
+
+def set_smlstep_pert_variables(grid: AtmGrid, tend_u, tend_w):
+    """Convert the w tendency to an omega tendency (ref :2224-2309)."""
+    mesh = grid.mesh
+    vg = grid.vert
+    nz = vg.nz
+    fzm, fzp = vg.fzm, vg.fzp
+    ut_int = to_interface(tend_u, fzm, fzp)              # (nE, nz+1)
+    # sign() in the reference uses the LEVEL-k value of tend_u at interface k
+    # (ref :2294 sign(1.0, u_tend(k,iEdge)) with k the interface loop index):
+    # 0-based interface i <- level i; top interface pads with 0.
+    sign_lev = jnp.sign(tend_u)                          # (nE, nz)
+    sign_int = jnp.concatenate([sign_lev, jnp.zeros_like(tend_u[:, :1])],
+                               axis=-1)
+    g_flux = ut_int[mesh.edgesOnCell]                    # (nC, mE, nz+1)
+    g_sign = sign_int[mesh.edgesOnCell]
+    zbz3 = grid.zb_cell + g_sign * grid.zb3_cell
+    contrib = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3 * g_flux, axis=1)
+    w_tend = tend_w - contrib
+    zz_int = to_interface(grid.zz, fzm, fzp)
+    w_tend = w_tend * zz_int
+    return w_tend.at[:, 0].set(0.0).at[:, nz].set(0.0)
+
+
+class AcousticVars(NamedTuple):
+    ru_p: Any         # (nE, nz)
+    rho_pp: Any       # (nC, nz)
+    rtheta_pp: Any    # (nC, nz)
+    rtheta_pp_old: Any
+    rw_p: Any         # (nC, nz+1)
+    ruAvg: Any
+    wwAvg: Any
+
+
+def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
+                  av: AcousticVars, small_step: int, dts,
+                  theta_m, exner, w, rho_zz, rw, rw_save, ru, ru_save,
+                  tend_ru, tend_rho, tend_rt, tend_rw, cqu=1.0):
+    """One forward-backward acoustic substep (ref :2447-2723).
+
+    small_step is a static python int (0-based)."""
+    mesh = grid.mesh
+    vg = grid.vert
+    nz = vg.nz
+    fzm, fzp, rdzw = vg.fzm, vg.fzp, vg.rdzw
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    epssm = cfg.config_epssm
+    resm = (1.0 - epssm) / (1.0 + epssm)
+
+    if small_step > 0:
+        # horizontal momentum update with pressure gradient (ref :2480-2504)
+        zz_pair = 0.5 * (grid.zz[c1] + grid.zz[c2])
+        pgrad = ((av.rtheta_pp[c2] - av.rtheta_pp[c1])
+                 * mesh.invDcEdge[:, None]) / zz_pair
+        pgrad = cqu * 0.5 * C2 * (exner[c1] + exner[c2]) * pgrad
+        pgrad = pgrad + 0.5 * grid.zxu * gravity \
+            * (av.rho_pp[c1] + av.rho_pp[c2])
+        if not DBG["apgrad"]:
+            pgrad = pgrad * 0.0
+        ru_p = av.ru_p + dts * (tend_ru - pgrad)
+        ruAvg = av.ruAvg + ru_p
+        rtheta_pp_old = av.rtheta_pp
+        rho_pp0 = av.rho_pp
+        rtheta_pp0 = av.rtheta_pp
+        rw_p0 = av.rw_p
+        wwAvg0 = av.wwAvg
+    else:
+        ru_p = dts * tend_ru
+        ruAvg = ru_p
+        rtheta_pp_old = jnp.zeros_like(av.rtheta_pp)
+        rho_pp0 = jnp.zeros_like(av.rho_pp)
+        rtheta_pp0 = jnp.zeros_like(av.rtheta_pp)
+        rw_p0 = jnp.zeros_like(av.rw_p)
+        wwAvg0 = jnp.zeros_like(av.wwAvg)
+
+    # cell divergence contributions (ref :2536-2549)
+    th_edge = 0.5 * (theta_m[c1] + theta_m[c2])
+    flux_r = (mesh.dvEdge[:, None] * ru_p)
+    flux_t = flux_r * th_edge
+    if not DBG["tsflux"]:
+        flux_t = flux_t * 0.0
+    pair = jnp.stack([flux_r, flux_t], axis=-1)          # (nE, nz, 2)
+    g = pair[mesh.edgesOnCell]                           # (nC, mE, nz, 2)
+    sums = jnp.sum(mesh.edgeSignOnCell[..., None, None] * g, axis=1) \
+        * (dts * mesh.invAreaCell)[:, None, None]
+    rs_flux = -sums[..., 0]
+    ts_flux = -sums[..., 1]
+
+    rs = rho_pp0 + dts * tend_rho + rs_flux \
+        - coefs.cofrz * resm * (rw_p0[:, 1:] - rw_p0[:, :-1])
+    ts = rtheta_pp0 + dts * tend_rt + ts_flux \
+        - resm * rdzw * (coefs.coftz[:, 1:] * rw_p0[:, 1:]
+                         - coefs.coftz[:, :-1] * rw_p0[:, :-1])
+
+    wwAvg = wwAvg0.at[:, 1:nz].add(0.5 * (1.0 - epssm) * rw_p0[:, 1:nz])
+
+    # rw_p rhs at interfaces i=1..nz-1 (ref :2577-2592)
+    zz_ts = grid.zz * ts
+    zz_rt = grid.zz * rtheta_pp0
+    rhs_mid = rw_p0[:, 1:nz] + dts * tend_rw[:, 1:nz] \
+        - coefs.cofwz[:, 1:nz] * ((zz_ts[:, 1:] - zz_ts[:, :-1])
+                                  + resm * (zz_rt[:, 1:] - zz_rt[:, :-1])) \
+        - coefs.cofwr[:, 1:nz] * ((rs[:, 1:] + rs[:, :-1])
+                                  + resm * (rho_pp0[:, 1:] + rho_pp0[:, :-1])) \
+        + coefs.cofwt[:, 1:] * (ts[:, 1:] + resm * rtheta_pp0[:, 1:]) \
+        + coefs.cofwt[:, :-1] * (ts[:, :-1] + resm * rtheta_pp0[:, :-1])
+    zpadc = jnp.zeros_like(rs[:, :1])
+    rw_p = jnp.concatenate([zpadc, rhs_mid, zpadc], axis=-1)
+
+    # tridiagonal sweeps (ref :2596-2604), unrolled over nz
+    cols = [rw_p[:, i:i+1] for i in range(nz + 1)]
+    for i in range(1, nz):
+        cols[i] = (cols[i] - coefs.a_tri[:, i:i+1] * cols[i-1]) \
+            * coefs.alpha_tri[:, i:i+1]
+    for i in range(nz - 1, 0, -1):
+        cols[i] = cols[i] - coefs.gamma_tri[:, i:i+1] * cols[i+1]
+    rw_p = jnp.concatenate(cols, axis=-1)
+
+    # implicit Rayleigh damping on w (ref :2608-2616)
+    zz_int = to_interface(grid.zz, fzm, fzp)
+    rho_int = to_interface(rho_zz, fzm, fzp)
+    # reference indexes the level array dss with the interface loop index
+    # (ref :2611 dss(k,iCell) with k=2..nVertLevels): interface i <- level i
+    dss_int = jnp.pad(grid.dss, ((0, 0), (0, 1)))
+    dw_term = rw_save - rw
+    denom = 1.0 + dts * dss_int
+    rw_p_mid = ((rw_p[:, 1:nz] + dw_term[:, 1:nz]
+                 - dts * dss_int[:, 1:nz] * zz_int[:, 1:nz]
+                 * rho_int[:, 1:nz] * w[:, 1:nz]) / denom[:, 1:nz]) \
+        - dw_term[:, 1:nz]
+    rw_p = jnp.concatenate([zpadc, rw_p_mid, zpadc], axis=-1)
+
+    wwAvg = wwAvg.at[:, 1:nz].add(0.5 * (1.0 + epssm) * rw_p[:, 1:nz])
+
+    rho_pp = rs - coefs.cofrz * (rw_p[:, 1:] - rw_p[:, :-1])
+    rtheta_pp = ts - rdzw * (coefs.coftz[:, 1:] * rw_p[:, 1:]
+                             - coefs.coftz[:, :-1] * rw_p[:, :-1])
+
+    return AcousticVars(ru_p=ru_p, rho_pp=rho_pp, rtheta_pp=rtheta_pp,
+                        rtheta_pp_old=rtheta_pp_old, rw_p=rw_p,
+                        ruAvg=ruAvg, wwAvg=wwAvg)
+
+
+def divergence_damping_3d(grid: AtmGrid, cfg: AtmConfig, av: AcousticVars,
+                          dts, theta_m):
+    """ref: atm_divergence_damping_3d (:2726)."""
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    coef = 2.0 * cfg.config_smdiv * cfg.config_len_disp / dts
+    dpdt = av.rtheta_pp - av.rtheta_pp_old
+    div1 = -dpdt[c1]
+    div2 = -dpdt[c2]
+    ru_p = av.ru_p + coef * (div2 - div1) / (theta_m[c1] + theta_m[c2])
+    return av._replace(ru_p=ru_p)
+
+
+def recover_large_step_variables(grid: AtmGrid, cfg: AtmConfig,
+                                 av: AcousticVars, rk_step: int, dt, ns,
+                                 rho_p_save, rtheta_p_save, ru_save, rw_save,
+                                 theta_m, rt_diabatic_tend=0.0):
+    """ref: atm_recover_large_step_variables_work (:2909).
+    Returns (u, w, theta_m, rho_zz, new ru/rw/rho_p/rtheta_p/exner/
+    pressure_p, ruAvg, wwAvg)."""
+    mesh = grid.mesh
+    vg = grid.vert
+    nz = vg.nz
+    fzm, fzp = vg.fzm, vg.fzp
+    cf1, cf2, cf3 = vg.cf1, vg.cf2, vg.cf3
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    inv_ns = 1.0 / float(ns)
+
+    rho_p = rho_p_save + av.rho_pp
+    rho_zz = rho_p + grid.rho_base
+
+    wwAvg = rw_save + av.wwAvg * inv_ns
+    rw = rw_save + av.rw_p
+    zz_int = to_interface(grid.zz, fzm, fzp)
+    rho_int = to_interface(rho_zz, fzm, fzp)
+    # partial w from omega (ref :2946-2955); completed after the metric part
+    w_part = jnp.zeros_like(rw)
+    w_part = w_part.at[:, 1:nz].set(rw[:, 1:nz] / zz_int[:, 1:nz])
+
+    if rk_step == 3:
+        rtheta_p = rtheta_p_save + av.rtheta_pp \
+            - dt * rho_zz * rt_diabatic_tend
+        theta_m_new = (rtheta_p + grid.rtheta_base) / rho_zz
+        exner = (grid.zz * (rgas / p0)
+                 * (rtheta_p + grid.rtheta_base)) ** RCV
+        pressure_p = grid.zz * rgas * (exner * rtheta_p + grid.rtheta_base
+                                       * (exner - grid.exner_base))
+    else:
+        rtheta_p = rtheta_p_save + av.rtheta_pp
+        theta_m_new = (rtheta_p + grid.rtheta_base) / rho_zz
+        exner = None
+        pressure_p = None
+
+    ruAvg = ru_save + av.ruAvg * inv_ns
+    ru = ru_save + av.ru_p
+    u = 2.0 * ru / (rho_zz[c1] + rho_zz[c2])
+
+    # metric part of w (ref :2978-3005)
+    ru_int = to_interface(ru, fzm, fzp)
+    # surface flux uses cf1/2/3 extrapolation
+    flux_sfc = cf1 * ru[:, 0] + cf2 * ru[:, 1] + cf3 * ru[:, 2]  # (nE,)
+    g_int = ru_int[mesh.edgesOnCell]                     # (nC, mE, nz+1)
+    g_sfc = flux_sfc[mesh.edgesOnCell]                   # (nC, mE)
+    zbz3_int = grid.zb_cell + jnp.sign(g_int) * grid.zb3_cell
+    zbz3_sfc = grid.zb_cell[:, :, 0] + jnp.sign(g_sfc) * grid.zb3_cell[:, :, 0]
+    w_metric = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3_int * g_int,
+                       axis=1)
+    w_sfc = jnp.sum(mesh.edgeSignOnCell * zbz3_sfc * g_sfc, axis=1)
+
+    rho_sfc = cf1 * rho_zz[:, 0] + cf2 * rho_zz[:, 1] + cf3 * rho_zz[:, 2]
+    w = w_part + w_metric
+    w = w.at[:, 0].set(w_sfc / rho_sfc)
+    w = w.at[:, 1:nz].set(w[:, 1:nz] / rho_int[:, 1:nz])
+    w = w.at[:, nz].set(0.0)
+
+    return (u, w, theta_m_new, rho_zz, ru, rw, rho_p, rtheta_p, exner,
+            pressure_p, ruAvg, wwAvg)

@@ -1,0 +1,388 @@
+"""Host-side atmosphere grid setup: vertical coordinate, advection
+coefficients, deformation weights, omega metric terms.
+
+TPU-native equivalents of:
+- vertical grid + metric setup (ref: init_atm_case_jw grid-metrics section,
+  src/core_init_atmosphere/mpas_init_atm_cases.F:633-700)
+- deriv_two quadratic-fit stencils (ref: atm_initialize_advection_rk,
+  src/core_init_atmosphere/mpas_atm_advection.F:21-394); local coordinates
+  here use the tangent-plane (gnomonic) projection rather than the
+  reference's accumulated-angle construction — same quadratic LSQ fit, same
+  truncation order.
+- adv_coefs compression (ref: atm_adv_coef_compression,
+  src/core_atmosphere/mpas_atm_core.F:1113-1266)
+- Smagorinsky deformation weights (ref: atm_initialize_deformation_weights,
+  mpas_atm_advection.F:744-937)
+- zb/zb3 omega metric terms + per-cell copies & signs (ref:
+  mpas_init_atm_cases.F:1009-1040, atm_compute_signs mpas_atm_core.F:987)
+- w-damping profile dss (ref: atm_compute_damping_coefs mpas_atm_core.F:1077)
+
+Everything here runs once on the host in numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from flax import struct
+
+from mpas_tpu.constants import gravity, pii
+from mpas_tpu.mesh.mesh import Mesh
+
+N_ADV = 10  # padded advection stencil size (2 cells + up to 8 distinct nbrs)
+
+
+@struct.dataclass
+class VerticalGrid:
+    """1-D vertical coordinate metadata (levels k=0..nz-1, interfaces 0..nz)."""
+    nz: int = struct.field(pytree_node=False)
+    zw: Any = None      # (nz+1,) nominal zeta interface heights
+    dzw: Any = None     # (nz,)
+    rdzw: Any = None    # (nz,)
+    rdzu: Any = None    # (nz+1,) interface 1/dz (0 at k=0 and k=nz)
+    fzm: Any = None     # (nz+1,) interface interpolation weights (0 ends)
+    fzp: Any = None     # (nz+1,)
+    cf1: float = struct.field(pytree_node=False, default=0.0)
+    cf2: float = struct.field(pytree_node=False, default=0.0)
+    cf3: float = struct.field(pytree_node=False, default=0.0)
+
+
+@struct.dataclass
+class AtmGrid:
+    """Mesh + all static atmosphere grid fields."""
+    mesh: Mesh
+    vert: VerticalGrid
+    zgrid: Any          # (nCells, nz+1) physical interface heights
+    zz: Any             # (nCells, nz) d(zeta)/dz
+    zxu: Any            # (nEdges, nz) metric slope at edges
+    dss: Any            # (nCells, nz) w-damping coefficient
+    zb_cell: Any        # (nCells, maxEdges, nz+1) omega metric (cell copy)
+    zb3_cell: Any       # (nCells, maxEdges, nz+1) (pre-scaled by coef_3rd)
+    advCellsForEdge: Any  # (nEdges, N_ADV) int32
+    adv_coefs: Any      # (nEdges, N_ADV) includes dvEdge factor
+    adv_coefs_3rd: Any  # (nEdges, N_ADV) pre-scaled by config_coef_3rd_order
+    defc_a: Any         # (nCells, maxEdges)
+    defc_b: Any         # (nCells, maxEdges)
+    recon_zonal: Any    # (nCells, maxEdges) LSQ weights: zonal wind at cell
+    recon_merid: Any    # (nCells, maxEdges)
+    # base state (defined by the initial case)
+    rho_base: Any       # (nCells, nz) == rb: base dry density / zz
+    theta_base: Any     # (nCells, nz) == tb
+    rtheta_base: Any
+    exner_base: Any
+    pressure_base: Any
+    u_init: Any         # (nz,) initial zonal profile (idealized mixing ref)
+    v_init: Any
+    t_init: Any         # (nCells, nz)
+
+
+def build_vertical_grid(nz: int, zt: float = 45000.0, stretch: float = 1.5,
+                        uniform: bool = True):
+    """1-D zeta coordinate (ref: mpas_init_atm_cases.F:636-676)."""
+    k = np.arange(nz + 1, dtype=np.float64)
+    dz = zt / nz
+    sh = (k * dz / zt) ** stretch
+    zw = k * dz if uniform else sh * zt
+    ah = 1.0 - np.cos(0.5 * pii * k * dz / zt) ** 6
+    dzw = zw[1:] - zw[:-1]
+    rdzw = 1.0 / dzw
+    dzu = np.zeros(nz + 1)
+    fzm = np.zeros(nz + 1)
+    fzp = np.zeros(nz + 1)
+    rdzu = np.zeros(nz + 1)
+    dzu[1:nz] = 0.5 * (dzw[1:] + dzw[:-1])
+    rdzu[1:nz] = 1.0 / dzu[1:nz]
+    fzp[1:nz] = 0.5 * dzw[1:] / dzu[1:nz]
+    fzm[1:nz] = 0.5 * dzw[:-1] / dzu[1:nz]
+    cof1 = (2.0 * dzu[1] + dzu[2]) / (dzu[1] + dzu[2]) * dzw[0] / dzu[1]
+    cof2 = dzu[1] / (dzu[1] + dzu[2]) * dzw[0] / dzu[2]
+    cf1 = fzp[1] + cof1
+    cf2 = fzm[1] - cof1 - cof2
+    cf3 = cof2
+    vg = VerticalGrid(nz=nz, zw=zw, dzw=dzw, rdzw=rdzw, rdzu=rdzu,
+                      fzm=fzm, fzp=fzp, cf1=float(cf1), cf2=float(cf2),
+                      cf3=float(cf3))
+    return vg, sh, ah
+
+
+# ---------------------------------------------------------------------------
+# local tangent-plane coordinates + quadratic LSQ (deriv_two)
+# ---------------------------------------------------------------------------
+
+def _tangent_coords(mesh: Mesh, origin_xyz, points_xyz):
+    """Project points into the tangent plane at origin (angle/arc-preserving
+    radially: coordinates are arc-length along great circle, azimuthal angle
+    preserved — equivalent to the reference's accumulated-angle coords up to
+    ordering)."""
+    if mesh.on_sphere:
+        o = origin_xyz / np.linalg.norm(origin_xyz, axis=-1, keepdims=True)
+        p = points_xyz / np.linalg.norm(points_xyz, axis=-1, keepdims=True)
+        z = np.array([0.0, 0.0, 1.0])
+        east = np.cross(z, o)
+        n = np.linalg.norm(east, axis=-1, keepdims=True)
+        if np.any(n < 1e-12):
+            east = np.where(n < 1e-12, np.cross([1.0, 0.0, 0.0], o), east)
+            n = np.linalg.norm(east, axis=-1, keepdims=True)
+        east = east / n
+        north = np.cross(o, east)
+        d = p - o
+        x = np.sum(d * east, axis=-1)
+        y = np.sum(d * north, axis=-1)
+        # azimuth preserved; radial chord rescaled to great-circle arc length
+        chord = np.sqrt(x * x + y * y)
+        arc = 2.0 * np.arcsin(np.clip(0.5 * np.linalg.norm(p - o, axis=-1),
+                                      -1.0, 1.0))
+        scale = np.where(chord > 1e-14, arc / np.maximum(chord, 1e-30), 1.0)
+        return x * scale * mesh.sphere_radius, y * scale * mesh.sphere_radius
+    d = points_xyz - origin_xyz
+    if mesh.x_period > 0:
+        d[..., 0] -= mesh.x_period * np.round(d[..., 0] / mesh.x_period)
+    if mesh.y_period > 0:
+        d[..., 1] -= mesh.y_period * np.round(d[..., 1] / mesh.y_period)
+    return d[..., 0], d[..., 1]
+
+
+def build_deriv_two(mesh: Mesh):
+    """Quadratic-fit second-derivative stencils.
+
+    Returns deriv_two (nEdges, 2, maxEdges+1): for each edge and each of its
+    two cells, the directional-second-derivative weights of [cell itself,
+    cellsOnCell(1..nEdgesOnCell)] along the cell->edge direction
+    (ref: atm_initialize_advection_rk deriv_two fill,
+    mpas_atm_advection.F:330-392).
+    """
+    nC, nE = mesh.nCells, mesh.nEdges
+    mE = mesh.maxEdges
+    cxyz = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], -1).astype(np.float64)
+    exyz = np.stack([mesh.xEdge, mesh.yEdge, mesh.zEdge], -1).astype(np.float64)
+    coc = np.asarray(mesh.cellsOnCell)
+    nEoC = np.asarray(mesh.nEdgesOnCell)
+    eoc = np.asarray(mesh.edgesOnCell)
+    coe = np.asarray(mesh.cellsOnEdge)
+
+    # per-cell LSQ fit matrices b (6, n) where n = 1+nEdgesOnCell
+    bmats = np.zeros((nC, 6, mE + 1))
+    for c in range(nC):
+        n = int(nEoC[c])
+        nbrs = coc[c, :n]
+        xs, ys = _tangent_coords(mesh, cxyz[c], cxyz[nbrs])
+        A = np.zeros((n + 1, 6))
+        A[0, 0] = 1.0
+        A[1:, 0] = 1.0
+        A[1:, 1] = xs
+        A[1:, 2] = ys
+        A[1:, 3] = xs * xs
+        A[1:, 4] = xs * ys
+        A[1:, 5] = ys * ys
+        bmats[c, :, :n + 1] = np.linalg.pinv(A)
+
+    deriv_two = np.zeros((nE, 2, mE + 1))
+    for side in range(2):
+        cells = coe[:, side]
+        xs, ys = _tangent_coords(mesh, cxyz[cells], exyz)
+        theta = np.arctan2(ys, xs)
+        c2, s2 = np.cos(theta) ** 2, np.sin(theta) ** 2
+        cs = np.cos(theta) * np.sin(theta)
+        B = bmats[cells]                       # (nE, 6, mE+1)
+        deriv_two[:, side, :] = (2.0 * c2[:, None] * B[:, 3, :]
+                                 + 2.0 * cs[:, None] * B[:, 4, :]
+                                 + 2.0 * s2[:, None] * B[:, 5, :])
+    return deriv_two
+
+
+def build_adv_coefs(mesh: Mesh, deriv_two, coef_3rd_order: float):
+    """Compress deriv_two into per-edge advection stencils
+    (ref: atm_adv_coef_compression, mpas_atm_core.F:1113-1266).
+    adv_coefs include the dvEdge factor; adv_coefs_3rd pre-scaled by
+    config_coef_3rd_order (ref: atm_couple_coef_3rd_order)."""
+    nE = mesh.nEdges
+    coc = np.asarray(mesh.cellsOnCell)
+    nEoC = np.asarray(mesh.nEdgesOnCell)
+    coe = np.asarray(mesh.cellsOnEdge)
+    dc = np.asarray(mesh.dcEdge)
+    dv = np.asarray(mesh.dvEdge)
+
+    advCells = np.zeros((nE, N_ADV), dtype=np.int64)
+    coefs = np.zeros((nE, N_ADV))
+    coefs3 = np.zeros((nE, N_ADV))
+    nAdv = np.zeros(nE, dtype=np.int64)
+    for e in range(nE):
+        c1, c2 = int(coe[e, 0]), int(coe[e, 1])
+        lst = [c1, c2]
+        for i in range(int(nEoC[c1])):
+            cc = int(coc[c1, i])
+            if cc != c2:
+                lst.append(cc)
+        for i in range(int(nEoC[c2])):
+            cc = int(coc[c2, i])
+            if cc not in lst:
+                lst.append(cc)
+        n = len(lst)
+        nAdv[e] = n
+        advCells[e, :n] = lst
+        pos = {c: j for j, c in enumerate(lst)}
+        a = np.zeros(n)
+        a3 = np.zeros(n)
+        # cell1 contributions
+        a[pos[c1]] += deriv_two[e, 0, 0]
+        a3[pos[c1]] += deriv_two[e, 0, 0]
+        for i in range(int(nEoC[c1])):
+            j = pos[int(coc[c1, i])]
+            a[j] += deriv_two[e, 0, i + 1]
+            a3[j] += deriv_two[e, 0, i + 1]
+        # cell2 contributions
+        a[pos[c2]] += deriv_two[e, 1, 0]
+        a3[pos[c2]] -= deriv_two[e, 1, 0]
+        for i in range(int(nEoC[c2])):
+            j = pos[int(coc[c2, i])]
+            a[j] += deriv_two[e, 1, i + 1]
+            a3[j] -= deriv_two[e, 1, i + 1]
+        a *= -(dc[e] ** 2) / 12.0
+        a3 *= -(dc[e] ** 2) / 12.0
+        a[pos[c1]] += 0.5
+        a[pos[c2]] += 0.5
+        coefs[e, :n] = dv[e] * a
+        coefs3[e, :n] = dv[e] * a3 * coef_3rd_order
+    return (advCells.astype(np.int32), coefs, coefs3, nAdv)
+
+
+def build_deformation_weights(mesh: Mesh):
+    """defc_a/defc_b for the Smagorinsky deformation
+    (ref: atm_initialize_deformation_weights, mpas_atm_advection.F:744-937)."""
+    nC, mE = mesh.nCells, mesh.maxEdges
+    cxyz = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], -1).astype(np.float64)
+    vxyz = np.stack([mesh.xVertex, mesh.yVertex, mesh.zVertex],
+                    -1).astype(np.float64)
+    voc = np.asarray(mesh.verticesOnCell)
+    eoc = np.asarray(mesh.edgesOnCell)
+    coe = np.asarray(mesh.cellsOnEdge)
+    nEoC = np.asarray(mesh.nEdgesOnCell)
+    defc_a = np.zeros((nC, mE))
+    defc_b = np.zeros((nC, mE))
+    for c in range(nC):
+        n = int(nEoC[c])
+        verts = voc[c, :n]
+        xs, ys = _tangent_coords(mesh, cxyz[c], vxyz[verts])
+        xn = np.roll(xs, -1)
+        yn = np.roll(ys, -1)
+        area = np.sum(0.25 * (xs + xn) * (yn - ys) - 0.25 * (ys + yn) * (xn - xs))
+        # edge i of the cell runs vertex i -> vertex i+1
+        dl = np.sqrt((xn - xs) ** 2 + (yn - ys) ** 2)
+        theta = np.arctan2(yn - ys, xn - xs)
+        ca = dl * (np.cos(theta) ** 2 - np.sin(theta) ** 2) / area
+        cb = dl * 2.0 * np.sin(theta) * np.cos(theta) / area
+        sign = np.where(coe[eoc[c, :n], 0] == c, 1.0, -1.0)
+        defc_a[c, :n] = ca * sign
+        defc_b[c, :n] = cb * sign
+    return defc_a, defc_b
+
+
+def build_reconstruct_weights(mesh: Mesh):
+    """Per-cell least-squares reconstruction of the horizontal wind vector
+    from edge-normal components: V = argmin sum_e (V.n_e - u_e)^2 over the
+    cell's edges. Returns (w_zonal, w_merid), each (nCells, maxEdges), so
+    u_zonal(c) = sum_i w_zonal[c,i]*u[edgesOnCell[c,i]].
+
+    TPU-native replacement for the RBF reconstruction weights
+    (ref: mpas_vector_reconstruction.F:51 mpas_init_reconstruct)."""
+    nC, mE = mesh.nCells, mesh.maxEdges
+    nEoC = np.asarray(mesh.nEdgesOnCell)
+    eoc = np.asarray(mesh.edgesOnCell)
+    ang = np.asarray(mesh.angleEdge)
+    latE, lonE = np.asarray(mesh.latEdge), np.asarray(mesh.lonEdge)
+    latC, lonC = np.asarray(mesh.latCell), np.asarray(mesh.lonCell)
+    w_zonal = np.zeros((nC, mE))
+    w_merid = np.zeros((nC, mE))
+    if mesh.on_sphere:
+        ee = np.stack([-np.sin(lonE), np.cos(lonE), np.zeros_like(lonE)], -1)
+        ne = np.stack([-np.sin(latE) * np.cos(lonE),
+                       -np.sin(latE) * np.sin(lonE), np.cos(latE)], -1)
+        nvec3 = np.cos(ang)[:, None] * ee + np.sin(ang)[:, None] * ne
+        ec = np.stack([-np.sin(lonC), np.cos(lonC), np.zeros_like(lonC)], -1)
+        ncv = np.stack([-np.sin(latC) * np.cos(lonC),
+                        -np.sin(latC) * np.sin(lonC), np.cos(latC)], -1)
+    for c in range(nC):
+        n = int(nEoC[c])
+        es = eoc[c, :n]
+        if mesh.on_sphere:
+            # project edge normals onto the cell's local (east, north) frame
+            N = np.stack([nvec3[es] @ ec[c], nvec3[es] @ ncv[c]], axis=-1)
+        else:
+            N = np.stack([np.cos(ang[es]), np.sin(ang[es])], axis=-1)
+        W = np.linalg.pinv(N)                     # (2, n)
+        w_zonal[c, :n] = W[0]
+        w_merid[c, :n] = W[1]
+    return w_zonal, w_merid
+
+
+def build_zb(mesh: Mesh, vg: VerticalGrid, zgrid, deriv_two,
+             theta_adv_order: int, coef_3rd_order: float):
+    """Omega metric terms zb/zb3 and their cell-indexed copies
+    (ref: mpas_init_atm_cases.F:1009-1040 and atm_compute_signs)."""
+    nE, nC, mE = mesh.nEdges, mesh.nCells, mesh.maxEdges
+    nzp = vg.nz + 1
+    coe = np.asarray(mesh.cellsOnEdge)
+    coc = np.asarray(mesh.cellsOnCell)
+    nEoC = np.asarray(mesh.nEdgesOnCell)
+    eoc = np.asarray(mesh.edgesOnCell)
+    dv = np.asarray(mesh.dvEdge)
+    dc = np.asarray(mesh.dcEdge)
+    areaC = np.asarray(mesh.areaCell)
+    c1, c2 = coe[:, 0], coe[:, 1]
+
+    if theta_adv_order == 2:
+        z_edge = 0.5 * (zgrid[c1] + zgrid[c2])        # (nE, nz+1)
+        z_edge3 = np.zeros((nE, nzp))
+    else:
+        # d2fdx2 per side over the full interface column
+        d2 = np.zeros((2, nE, nzp))
+        for side in range(2):
+            cells = coe[:, side]
+            acc = deriv_two[:, side, 0][:, None] * zgrid[cells]
+            for i in range(mE):
+                valid = i < nEoC[cells]
+                nb = coc[cells, i]
+                acc = acc + np.where(valid[:, None],
+                                     deriv_two[:, side, i + 1][:, None]
+                                     * zgrid[nb], 0.0)
+            d2[side] = acc
+        z_edge = 0.5 * (zgrid[c1] + zgrid[c2]) \
+            - (dc ** 2)[:, None] * (d2[0] + d2[1]) / 12.0
+        if theta_adv_order == 3:
+            z_edge3 = -(dc ** 2)[:, None] * (d2[0] - d2[1]) / 12.0
+        else:
+            z_edge3 = np.zeros((nE, nzp))
+
+    zb = np.zeros((nE, 2, nzp))
+    zb3 = np.zeros((nE, 2, nzp))
+    zb[:, 0, :] = (z_edge - zgrid[c1]) * (dv / areaC[c1])[:, None]
+    zb[:, 1, :] = (z_edge - zgrid[c2]) * (dv / areaC[c2])[:, None]
+    zb3[:, 0, :] = z_edge3 * (dv / areaC[c1])[:, None]
+    zb3[:, 1, :] = z_edge3 * (dv / areaC[c2])[:, None]
+
+    # cell-indexed copies, pre-scaled by coef_3rd_order for zb3
+    zb_cell = np.zeros((nC, mE, nzp))
+    zb3_cell = np.zeros((nC, mE, nzp))
+    for i in range(mE):
+        valid = i < nEoC
+        e = eoc[:, i]
+        own_side = np.where(coe[e, 0] == np.arange(nC), 0, 1)
+        zb_cell[:, i, :] = np.where(valid[:, None],
+                                    zb[e, own_side, :], 0.0)
+        zb3_cell[:, i, :] = np.where(valid[:, None],
+                                     zb3[e, own_side, :] * coef_3rd_order, 0.0)
+    return zb_cell, zb3_cell
+
+
+def build_dss(mesh: Mesh, zgrid, zd: float, xnutr: float):
+    """w-damping layer profile (ref: atm_compute_damping_coefs,
+    mpas_atm_core.F:1077-1111; the JW init variant uses layer heights,
+    mpas_init_atm_cases.F:686-697)."""
+    zt = zgrid[:, -1:]
+    z = 0.5 * (zgrid[:, :-1] + zgrid[:, 1:])
+    dss = np.where(z > zd,
+                   xnutr * np.sin(0.5 * pii * (z - zd)
+                                  / np.maximum(zt - zd, 1.0)) ** 2, 0.0)
+    md = np.asarray(mesh.meshDensity)[:, None]
+    return dss / md ** 0.25

@@ -1,0 +1,176 @@
+"""Split-explicit RK3 timestep driver for the nonhydrostatic core.
+
+ref: atm_srk3, src/core_atmosphere/dynamics/mpas_atm_time_integration.F:142.
+All loops (dynamics substeps, 3 RK stages, acoustic substeps) are static
+Python loops unrolled into one XLA program per full timestep; the reference's
+~15 halo exchanges per substep disappear on a single shard and become
+the distributed layer's exchange points in the sharded runner.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.nhyd import (AcousticVars, AtmSolveDiag,
+                                            EulerTends, acoustic_step,
+                                            compute_dyn_tend,
+                                            divergence_damping_3d,
+                                            recover_large_step_variables,
+                                            reconstruct_cell_winds,
+                                            set_smlstep_pert_variables,
+                                            solve_diagnostics, vert_imp_coefs)
+from mpas_tpu.cores.atmosphere.setup import AtmGrid
+from mpas_tpu.cores.atmosphere.state import AtmDiag, AtmState
+
+
+@struct.dataclass
+class AtmCarry:
+    """Everything advanced from step to step."""
+    state: AtmState
+    diag: AtmDiag
+    v: Any          # tangential velocity (recomputed on rk_step 3)
+    sdiag_ke: Any
+    sdiag_div: Any
+    sdiag_vort: Any
+    sdiag_pv_edge: Any
+    sdiag_rho_edge: Any
+    ur_cell: Any
+    vr_cell: Any
+
+
+def init_carry(grid: AtmGrid, cfg: AtmConfig, state: AtmState,
+               diag: AtmDiag, dt) -> AtmCarry:
+    """Initial diagnostics (ref: atm_mpas_init_block calls
+    atm_compute_solve_diagnostics + mpas_reconstruct)."""
+    sd = solve_diagnostics(grid, cfg, state.u, state.rho_zz, dt,
+                           reconstruct_v=True)
+    ur, vr = reconstruct_cell_winds(grid, state.u)
+    return AtmCarry(state=state, diag=diag, v=sd.v, sdiag_ke=sd.ke,
+                    sdiag_div=sd.divergence, sdiag_vort=sd.vorticity,
+                    sdiag_pv_edge=sd.pv_edge, sdiag_rho_edge=sd.rho_edge,
+                    ur_cell=ur, vr_cell=vr)
+
+
+def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
+    """One full (dry) timestep (ref: atm_srk3 :142-1796)."""
+    state1 = carry.state
+    diag = carry.diag
+    nz = grid.vert.nz
+
+    order = cfg.config_time_integration_order
+    ns = cfg.config_number_of_sub_steps
+    split = cfg.config_dynamics_split_steps \
+        if cfg.config_split_dynamics_transport else 1
+    dt_dyn = dt / split
+    if order == 3:
+        rk_timestep = (dt_dyn / 3.0, dt_dyn / 2.0, dt_dyn)
+        rk_sub = (dt_dyn / 3.0, dt_dyn / ns, dt_dyn / ns)
+        nsub = (1, max(1, ns // 2), ns)
+    else:
+        rk_timestep = (dt_dyn / 2.0, dt_dyn / 2.0, dt_dyn)
+        rk_sub = (dt_dyn / ns,) * 3
+        nsub = (max(1, ns // 2), max(1, ns // 2), ns)
+
+    # working (time level 2) state and sub-step saves
+    u2, w2 = state1.u, state1.w
+    th2, rho2 = state1.theta_m, state1.rho_zz
+    u1, w1, th1, rho1 = u2, w2, th2, rho2
+    ru, rw = diag.ru, diag.rw
+    rho_p, rtheta_p = diag.rho_p, diag.rtheta_p
+    exner, pressure_p = diag.exner, diag.pressure_p
+    sd = AtmSolveDiag(rho_edge=carry.sdiag_rho_edge, ke=carry.sdiag_ke,
+                      divergence=carry.sdiag_div, vorticity=carry.sdiag_vort,
+                      pv_edge=carry.sdiag_pv_edge, v=carry.v)
+    ur_cell, vr_cell = carry.ur_cell, carry.vr_cell
+    rho_zz_old_split = rho1
+
+    ruAvg_split = jnp.zeros_like(ru)
+    wwAvg_split = jnp.zeros_like(rw)
+    ruAvg = jnp.zeros_like(ru)
+    wwAvg = jnp.zeros_like(rw)
+
+    for sub in range(split):
+        # start-of-substep saves (ref: atm_rk_integration_setup :1799)
+        ru_save, rw_save = ru, rw
+        rtheta_p_save, rho_p_save = rtheta_p, rho_p
+        th_save = th1
+        # u2 etc. already equal time level 1 values at substep start
+
+        coefs = vert_imp_coefs(grid, cfg, rk_sub[0], th2, exner, rtheta_p)
+        euler = None
+        for rk in (1, 2, 3):
+            if order == 3 and rk == 2:
+                coefs = vert_imp_coefs(grid, cfg, rk_sub[1], th2, exner,
+                                       rtheta_p)
+            (tend_u, tend_rho, tend_theta, tend_w_raw, h_div,
+             euler) = compute_dyn_tend(
+                grid, cfg, rk, dt, u2, w2, th2, rho2, sd, ru, rw,
+                ru_save, rw_save, th_save, rho_p_save, pressure_p,
+                ur_cell, vr_cell, euler)
+            tend_rw = set_smlstep_pert_variables(grid, tend_u, tend_w_raw)
+
+            av = AcousticVars(
+                ru_p=jnp.zeros_like(ru), rho_pp=jnp.zeros_like(rho2),
+                rtheta_pp=jnp.zeros_like(rho2),
+                rtheta_pp_old=jnp.zeros_like(rho2),
+                rw_p=jnp.zeros_like(rw), ruAvg=ruAvg, wwAvg=wwAvg)
+            for small in range(nsub[rk - 1]):
+                # the acoustic system advects theta with the time-level-1
+                # (substep-start) theta_m (ref wrapper :2320 gets level 1)
+                av = acoustic_step(
+                    grid, cfg, coefs, av, small, rk_sub[rk - 1],
+                    th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
+                    tend_u, tend_rho, tend_theta, tend_rw)
+                av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
+                                           th_save)
+
+            (u2, w2, th2, rho2, ru, rw, rho_p, rtheta_p, exner_new,
+             pressure_p_new, ruAvg, wwAvg) = recover_large_step_variables(
+                grid, cfg, av, rk, rk_timestep[rk - 1], nsub[rk - 1],
+                rho_p_save, rtheta_p_save, ru_save, rw_save, th2)
+            if rk == 3:
+                exner, pressure_p = exner_new, pressure_p_new
+
+            sd = solve_diagnostics(grid, cfg, u2, rho2, dt,
+                                   reconstruct_v=(rk == 3), v_prev=sd.v)
+
+        # substep finish (ref: atm_rk_dynamics_substep_finish :5993)
+        if sub == 0:
+            ruAvg_split = ruAvg
+            wwAvg_split = wwAvg
+        else:
+            ruAvg_split = ruAvg_split + ruAvg
+            wwAvg_split = wwAvg_split + wwAvg
+        if sub < split - 1:
+            u1, w1, th1, rho1 = u2, w2, th2, rho2
+            ruAvg = jnp.zeros_like(ru)
+            wwAvg = jnp.zeros_like(rw)
+
+    ruAvg = ruAvg_split / split
+    wwAvg = wwAvg_split / split
+    ur_cell, vr_cell = reconstruct_cell_winds(grid, u2)
+
+    state2 = AtmState(u=u2, w=w2, theta_m=th2, rho_zz=rho2,
+                      scalars=state1.scalars)
+    diag2 = AtmDiag(ru=ru, rw=rw, rho_p=rho_p, rtheta_p=rtheta_p,
+                    exner=exner, pressure_p=pressure_p,
+                    ruAvg=ruAvg, wwAvg=wwAvg)
+    return AtmCarry(state=state2, diag=diag2, v=sd.v, sdiag_ke=sd.ke,
+                    sdiag_div=sd.divergence, sdiag_vort=sd.vorticity,
+                    sdiag_pv_edge=sd.pv_edge, sdiag_rho_edge=sd.rho_edge,
+                    ur_cell=ur_cell, vr_cell=vr_cell)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def run_steps(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
+              n_steps: int) -> AtmCarry:
+    def body(c, _):
+        return srk3_step(grid, cfg, c, dt), None
+    final, _ = jax.lax.scan(body, carry, None, length=n_steps)
+    return final

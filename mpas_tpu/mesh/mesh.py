@@ -140,6 +140,8 @@ class Mesh:
             zVertex=self.zVertex * r,
             dvEdge=self.dvEdge * r, dcEdge=self.dcEdge * r,
             invDvEdge=self.invDvEdge / r, invDcEdge=self.invDcEdge / r,
+            divW=self.divW * r, curlW=self.curlW * r,
+            keW=self.keW * r * r,
             areaCell=self.areaCell * r * r,
             areaTriangle=self.areaTriangle * r * r,
             kiteAreasOnVertex=self.kiteAreasOnVertex * r * r,

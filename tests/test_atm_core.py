@@ -1,0 +1,119 @@
+"""Nonhydrostatic atmosphere dry core: balance, stability, conservation.
+
+Parity model: the reference validates the dycore on the JW baroclinic wave
+(SURVEY.md §6 north star); decisive invariants here are exact maintenance of
+a resting atmosphere, near-steadiness of the unperturbed JW state, and
+flux-form mass conservation to roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.init_jw import init_jw
+from mpas_tpu.cores.atmosphere.setup import build_vertical_grid
+from mpas_tpu.cores.atmosphere.time_integration import (init_carry, run_steps,
+                                                        srk3_step)
+
+
+def _setup(mesh, case, nz=10, dt=2400.0, u0=None, **cfg_kw):
+    cfg = AtmConfig(config_nvertlevels=nz, config_len_disp=960000.0,
+                    config_dt=dt, **cfg_kw)
+    kw = {} if u0 is None else {"u0": u0}
+    grid, state, diag = init_jw(mesh, cfg, case=case, **kw)
+    grid = jax.tree.map(jnp.asarray, grid)
+    state = jax.tree.map(jnp.asarray, state)
+    diag = jax.tree.map(jnp.asarray, diag)
+    return grid, cfg, init_carry(grid, cfg, state, diag, dt), state
+
+
+class TestVerticalGrid:
+    def test_interpolation_weights(self):
+        vg, sh, ah = build_vertical_grid(26)
+        fzm, fzp = np.asarray(vg.fzm), np.asarray(vg.fzp)
+        assert np.allclose(fzm[1:26] + fzp[1:26], 1.0)
+        assert abs(vg.cf1 + vg.cf2 + vg.cf3 - 1.0) < 1e-12
+
+    def test_zz_metric_identity(self, sphere_mesh_small):
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1)
+        zz = np.asarray(grid.zgrid)
+        dzw_nom = np.asarray(grid.vert.zw)[1:] - np.asarray(grid.vert.zw)[:-1]
+        lhs = np.asarray(grid.zz) * (zz[:, 1:] - zz[:, :-1])
+        assert np.allclose(lhs, dzw_nom[None, :], rtol=1e-12)
+
+
+class TestAdvCoefs:
+    def test_constant_field_exact(self, sphere_mesh_small):
+        """sum(adv_coefs) = dvEdge and sum(adv_coefs_3rd) = 0: the 3rd/4th
+        order edge value of a constant field is the constant."""
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1)
+        total = np.asarray(jnp.sum(grid.adv_coefs, axis=1))
+        assert np.allclose(total, np.asarray(grid.mesh.dvEdge), rtol=1e-10)
+        total3 = np.asarray(jnp.sum(grid.adv_coefs_3rd, axis=1))
+        assert np.abs(total3).max() < 1e-6 * np.asarray(grid.mesh.dvEdge).max()
+
+
+class TestRestingAtmosphere:
+    def test_exact_rest_maintained(self, sphere_mesh_small):
+        """u0=0: flat terrain, uniform T profile, rest with Coriolis.
+        Dynamics must keep it at rest to roundoff for many steps."""
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1, u0=0.0)
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 10)
+        assert float(jnp.max(jnp.abs(out.state.u))) < 1e-10
+        assert float(jnp.max(jnp.abs(out.state.w))) < 1e-10
+
+    def test_rest_with_noise_stays_bounded(self, sphere_mesh_small):
+        """Seeded noise must not amplify (inertia-gravity modes neutral or
+        damped) — the regression test for the scaled-weights bug."""
+        from mpas_tpu.cores.atmosphere.state import AtmState
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1, u0=0.0)
+        rng = np.random.default_rng(0)
+        noisy = AtmState(u=carry.state.u
+                         + jnp.asarray(rng.standard_normal(s0.u.shape)) * 1e-4,
+                         w=carry.state.w, theta_m=carry.state.theta_m,
+                         rho_zz=carry.state.rho_zz,
+                         scalars=carry.state.scalars)
+        carry = carry.replace(state=noisy)
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 20)
+        assert float(jnp.max(jnp.abs(out.state.u))) < 1e-2
+
+
+class TestJWSteadyState:
+    def test_unperturbed_jet_steady(self, sphere_mesh_small):
+        """JW case 1: the balanced jet stays near its initial state."""
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1)
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 18)  # 12 h
+        du = float(jnp.max(jnp.abs(out.state.u - s0.u)))
+        assert du < 3.0                       # bounded adjustment, no runaway
+        assert float(jnp.max(jnp.abs(out.state.w))) < 0.1
+        assert bool(jnp.all(jnp.isfinite(out.state.u)))
+
+    def test_mass_conserved_to_roundoff(self, sphere_mesh_small):
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1)
+        area = grid.mesh.areaCell[:, None]
+        m0 = float(jnp.sum(s0.rho_zz * area))
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 12)
+        m1 = float(jnp.sum(out.state.rho_zz * area))
+        assert abs(m1 - m0) / m0 < 1e-12
+
+    def test_theta_mass_conserved(self, sphere_mesh_small):
+        """Flux-form rho*theta conservation (no diabatic terms)."""
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1)
+        area = grid.mesh.areaCell[:, None]
+        t0 = float(jnp.sum(s0.rho_zz * s0.theta_m * area))
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 12)
+        t1 = float(jnp.sum(out.state.rho_zz * out.state.theta_m * area))
+        assert abs(t1 - t0) / t0 < 1e-9
+
+
+class TestJWBaroclinicWave:
+    def test_perturbation_grows_then_bounded(self, sphere_mesh_small):
+        """JW case 2: perturbed run stays finite and w remains physical
+        over 1 day at coarse resolution."""
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 2)
+        out = run_steps(grid, cfg, carry, cfg.config_dt, 36)  # 1 day
+        assert bool(jnp.all(jnp.isfinite(out.state.u)))
+        assert float(jnp.max(jnp.abs(out.state.w))) < 1.0
+        assert float(jnp.max(jnp.abs(out.state.u))) < 60.0
