@@ -1,29 +1,30 @@
 #!/usr/bin/env python
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current flagship config: shallow-water TC5 on the 480 km quasi-uniform
-icosahedral mesh (BASELINE.json configs[0]); switches to the MPAS-A JW
-120 km dry dycore once that core lands. Metric: cell-column updates/s/chip.
+Flagship config: MPAS-A dry dycore, Jablonowski-Williamson baroclinic wave
+(BASELINE.json configs[1]) — split RK3, 2 acoustic substeps, 3 dynamics
+substeps per step. Metric: cell-column updates/s/chip (one update = one
+full split-RK3 timestep of one cell column).
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
-denominator 2.0e6 cell-column-updates/s is our documented estimate of the
-Fortran reference on one modern CPU node for this config (O(2562 cells /
-~1ms per RK4 step-equivalent per core-group)); it is a placeholder anchor,
-not a published figure — the real target is parity+ on identical hardware.
+denominator 20000 cell-columns/s is our documented estimate of the Fortran
+reference on ~8 CPU cores (a 120-km JW run does ~1 step/s on a small node);
+it is an anchor for trend-tracking, not a published figure.
 """
 
 import argparse
 import json
 import time
 
-BASELINE_CELL_UPDATES_PER_S = 2.0e6
+BASELINE_COLUMN_UPDATES_PER_S = 2.0e4
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="sw_tc5_120km",
-                    choices=["sw_tc5_480km", "sw_tc5_120km"])
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--config", default="jw_120km",
+                    choices=["jw_120km", "jw_480km", "sw_tc5_120km",
+                             "sw_tc5_480km"])
+    ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -39,56 +40,87 @@ def main():
 
     import jax.numpy as jnp
     from mpas_tpu.mesh.cache import cached
-    from mpas_tpu.mesh.mesh import to_device
     from mpas_tpu.mesh.sphere import icosahedral_mesh
-    from mpas_tpu.cores.sw.config import SWConfig
-    from mpas_tpu.cores.sw.test_cases import test_case_5
-    from mpas_tpu.cores.sw.time_integration import run_steps
 
-    if args.config == "sw_tc5_480km":
-        mesh0 = cached("icos16_l4",
-                       lambda: icosahedral_mesh(16, lloyd_iters=4))
-        dt = 172.8
-    else:  # sw_tc5_120km: the 40962-cell 120 km-class mesh
-        mesh0 = cached("icos64_l4",
-                       lambda: icosahedral_mesh(64, lloyd_iters=4))
-        dt = 45.0
-    mesh, state, h_s = test_case_5(mesh0)
-    cfg = SWConfig(config_dt=dt, config_test_case=5)
+    def cast(tree):
+        return jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a, dtype=dtype))
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a), tree)
 
-    mesh = to_device(mesh, dtype=dtype)
-    state = jax.tree.map(lambda a: jnp.asarray(np.asarray(a, dtype=dtype)),
-                         state)
-    h_s = jnp.asarray(np.asarray(h_s, dtype=dtype))
+    if args.config.startswith("jw"):
+        from mpas_tpu.cores.atmosphere.config import AtmConfig
+        from mpas_tpu.cores.atmosphere.init_jw import init_jw
+        from mpas_tpu.cores.atmosphere.time_integration import (init_carry,
+                                                                run_steps)
+        if args.config == "jw_120km":
+            mesh0 = cached("icos64_l4",
+                           lambda: icosahedral_mesh(64, lloyd_iters=4))
+            dt, len_disp = 720.0, 120000.0
+        else:
+            mesh0 = cached("icos16_l4",
+                           lambda: icosahedral_mesh(16, lloyd_iters=4))
+            dt, len_disp = 2400.0, 480000.0
+        cfg = AtmConfig(config_nvertlevels=26, config_dt=dt,
+                        config_len_disp=len_disp)
+        t0 = time.perf_counter()
+        grid, state, diag = init_jw(mesh0, cfg, case=2)
+        setup_s = time.perf_counter() - t0
+        grid = cast(grid)
+        carry = init_carry(grid, cfg, cast(state), cast(diag), dt)
+        n_cols = grid.mesh.nCells
+        n_levels = cfg.config_nvertlevels
 
-    n_levels = 1
+        def run(n):
+            out = run_steps(grid, cfg, carry, dt, n)
+            return out.state.u
+    else:
+        from mpas_tpu.cores.sw.config import SWConfig
+        from mpas_tpu.cores.sw.test_cases import test_case_5
+        from mpas_tpu.cores.sw.time_integration import run_steps as sw_run
+        from mpas_tpu.mesh.mesh import to_device
+        name = "icos64_l4" if args.config == "sw_tc5_120km" else "icos16_l4"
+        n = 64 if args.config == "sw_tc5_120km" else 16
+        mesh0 = cached(name, lambda: icosahedral_mesh(n, lloyd_iters=4))
+        dtv = 45.0 if n == 64 else 172.8
+        mesh, state, h_s = test_case_5(mesh0)
+        cfg = SWConfig(config_dt=dtv, config_test_case=5)
+        mesh = to_device(mesh, dtype=dtype)
+        state = cast(state)
+        h_s = jnp.asarray(np.asarray(h_s, dtype=dtype))
+        n_cols = mesh.nCells
+        n_levels = 1
+        setup_s = 0.0
+
+        def run(nn):
+            return sw_run(mesh, cfg, state, h_s, nn).h
 
     def timed(n):
         # NOTE: on the axon TPU platform block_until_ready() does not block;
         # a device->host transfer is the reliable sync.
-        out = run_steps(mesh, cfg, state, h_s, n)
-        h = np.asarray(out.h)
+        out = run(n)
+        h = np.asarray(out)
         assert np.all(np.isfinite(h)), "benchmark produced NaNs"
         t0 = time.perf_counter()
-        out = run_steps(mesh, cfg, state, h_s, n)
-        np.asarray(out.h)
+        np.asarray(run(n))
         return time.perf_counter() - t0
 
-    # marginal cost: strip dispatch/transfer overhead with two sizes
     t1 = timed(args.steps)
     t2 = timed(2 * args.steps)
     elapsed = max(t2 - t1, 1e-9)
-    value = mesh.nCells * n_levels * args.steps / elapsed
+    value = n_cols * args.steps / elapsed
     print(json.dumps({
         "metric": "cell_column_updates_per_s_per_chip",
         "value": value,
         "unit": "cell-columns/s",
-        "vs_baseline": value / BASELINE_CELL_UPDATES_PER_S,
+        "vs_baseline": value / BASELINE_COLUMN_UPDATES_PER_S,
         "config": args.config,
         "device": str(dev),
         "steps": args.steps,
         "elapsed_s": elapsed,
-        "n_cells": mesh.nCells,
+        "n_cells": n_cols,
+        "n_levels": n_levels,
+        "setup_s": setup_s,
     }))
 
 

@@ -57,7 +57,23 @@ def init_carry(grid: AtmGrid, cfg: AtmConfig, state: AtmState,
                     ur_cell=ur, vr_cell=vr)
 
 
-def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
+class _NoExchange:
+    """Identity exchange hooks (single shard). The distributed runner
+    substitutes halo refreshes at exactly the reference's exchange points
+    (ref: the mpas_dmpar_exch_halo_field calls inside atm_srk3)."""
+
+    def cell(self, x):
+        return x
+
+    def edge(self, x):
+        return x
+
+
+NO_XCH = _NoExchange()
+
+
+def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
+              xch=NO_XCH) -> AtmCarry:
     """One full (dry) timestep (ref: atm_srk3 :142-1796)."""
     state1 = carry.state
     diag = carry.diag
@@ -76,6 +92,18 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
         rk_timestep = (dt_dyn / 2.0, dt_dyn / 2.0, dt_dyn)
         rk_sub = (dt_dyn / ns,) * 3
         nsub = (max(1, ns // 2), max(1, ns // 2), ns)
+
+    # step-start halo refresh (ref: atm_srk3 :666-676 theta_m/scalars/
+    # pressure_p/rtheta_p exchanges)
+    state1 = state1.replace(theta_m=xch.cell(state1.theta_m),
+                            w=xch.cell(state1.w),
+                            rho_zz=xch.cell(state1.rho_zz),
+                            u=xch.edge(state1.u))
+    diag = diag.replace(pressure_p=xch.cell(diag.pressure_p),
+                        rtheta_p=xch.cell(diag.rtheta_p),
+                        exner=xch.cell(diag.exner),
+                        rho_p=xch.cell(diag.rho_p),
+                        ru=xch.edge(diag.ru), rw=xch.cell(diag.rw))
 
     # working (time level 2) state and sub-step saves
     u2, w2 = state1.u, state1.w
@@ -113,6 +141,8 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
                 grid, cfg, rk, dt, u2, w2, th2, rho2, sd, ru, rw,
                 ru_save, rw_save, th_save, rho_p_save, pressure_p,
                 ur_cell, vr_cell, euler)
+            # ref: tend_u halo exchange before the omega conversion (:788)
+            tend_u = xch.edge(tend_u)
             tend_rw = set_smlstep_pert_variables(grid, tend_u, tend_w_raw)
 
             av = AcousticVars(
@@ -121,14 +151,26 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
                 rtheta_pp_old=jnp.zeros_like(rho2),
                 rw_p=jnp.zeros_like(rw), ruAvg=ruAvg, wwAvg=wwAvg)
             for small in range(nsub[rk - 1]):
+                # ref: rho_pp exchanged before each small step (:792),
+                # rtheta_pp after (:845)
+                av = av._replace(rho_pp=xch.cell(av.rho_pp))
                 # the acoustic system advects theta with the time-level-1
                 # (substep-start) theta_m (ref wrapper :2320 gets level 1)
                 av = acoustic_step(
                     grid, cfg, coefs, av, small, rk_sub[rk - 1],
                     th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
                     tend_u, tend_rho, tend_theta, tend_rw)
+                av = av._replace(rtheta_pp=xch.cell(av.rtheta_pp))
                 av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
                                            th_save)
+            # ref: rw_p/ru_p/rho_pp/rtheta_pp exchanged before recover
+            # (:873-887)
+            av = av._replace(rw_p=xch.cell(av.rw_p),
+                             ru_p=xch.edge(av.ru_p),
+                             rho_pp=xch.cell(av.rho_pp),
+                             rtheta_pp=xch.cell(av.rtheta_pp),
+                             ruAvg=xch.edge(av.ruAvg),
+                             wwAvg=xch.cell(av.wwAvg))
 
             (u2, w2, th2, rho2, ru, rw, rho_p, rtheta_p, exner_new,
              pressure_p_new, ruAvg, wwAvg) = recover_large_step_variables(
@@ -137,6 +179,10 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt) -> AtmCarry:
             if rk == 3:
                 exner, pressure_p = exner_new, pressure_p_new
 
+            # ref: u full-halo exchange after recover (:988); w after the
+            # diagnostics (:1234-1248)
+            u2 = xch.edge(u2)
+            w2 = xch.cell(w2)
             sd = solve_diagnostics(grid, cfg, u2, rho2, dt,
                                    reconstruct_v=(rk == 3), v_prev=sd.v)
 
@@ -172,5 +218,13 @@ def run_steps(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
               n_steps: int) -> AtmCarry:
     def body(c, _):
         return srk3_step(grid, cfg, c, dt), None
+    final, _ = jax.lax.scan(body, carry, None, length=n_steps)
+    return final
+
+
+def run_steps_xch(grid, cfg, carry, dt, n_steps, xch):
+    """Like run_steps but with exchange hooks (used inside shard_map)."""
+    def body(c, _):
+        return srk3_step(grid, cfg, c, dt, xch=xch), None
     final, _ = jax.lax.scan(body, carry, None, length=n_steps)
     return final

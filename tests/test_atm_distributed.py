@@ -1,0 +1,62 @@
+"""Distributed atmosphere: decomp invariance of the full split-RK3 dycore.
+
+The analogue of the reference's decomp_test for its flagship core
+(SURVEY.md §4): an N-shard run over a virtual device mesh must reproduce
+the single-device trajectory on owned entities.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.distributed import (make_run_steps_atm,
+                                                   shard_atm_grid,
+                                                   shard_atm_state)
+from mpas_tpu.cores.atmosphere.init_jw import init_jw
+from mpas_tpu.cores.atmosphere.time_integration import (AtmCarry, init_carry,
+                                                        run_steps)
+from mpas_tpu.parallel.partition import sfc_partition
+from mpas_tpu.parallel.runner import (device_mesh, gather_field,
+                                      scatter_field)
+
+
+@pytest.mark.parametrize("n_parts", [2, 4])
+def test_atm_decomp_invariance(sphere_mesh_small, n_parts):
+    cfg = AtmConfig(config_nvertlevels=10, config_len_disp=960000.0,
+                    config_dt=1800.0)
+    grid, state, diag = init_jw(sphere_mesh_small, cfg, case=2)
+    gj = jax.tree.map(jnp.asarray, grid)
+    carry0 = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                        jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+    ref = run_steps(gj, cfg, carry0, cfg.config_dt, 3)
+
+    part = sfc_partition(grid.mesh, n_parts)
+    satm = shard_atm_grid(grid, part)
+    sm = satm.smesh
+    st, dg = shard_atm_state(satm, state, diag)
+    c = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "cell"))
+    e = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "edge"))
+    v = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "vertex"))
+    carry_st = AtmCarry(
+        state=st, diag=dg, v=e(carry0.v), sdiag_ke=c(carry0.sdiag_ke),
+        sdiag_div=c(carry0.sdiag_div), sdiag_vort=v(carry0.sdiag_vort),
+        sdiag_pv_edge=e(carry0.sdiag_pv_edge),
+        sdiag_rho_edge=e(carry0.sdiag_rho_edge),
+        ur_cell=c(carry0.ur_cell), vr_cell=c(carry0.vr_cell))
+    dmesh = device_mesh(n_parts)
+    gst = jax.tree.map(jnp.asarray, satm.grid)
+    smst = jax.tree.map(jnp.asarray, sm)
+    out = make_run_steps_atm(satm, cfg, dmesh)(gst, smst, carry_st, 3)
+
+    for name, kind, mine, refv in (
+            ("u", "edge", out.state.u, ref.state.u),
+            ("w", "cell", out.state.w, ref.state.w),
+            ("theta_m", "cell", out.state.theta_m, ref.state.theta_m),
+            ("rho_zz", "cell", out.state.rho_zz, ref.state.rho_zz)):
+        n_glob = grid.mesh.nCells if kind == "cell" else grid.mesh.nEdges
+        gath = gather_field(sm, np.asarray(mine), kind, n_glob)
+        r = np.asarray(refv)
+        rel = np.abs(gath - r).max() / np.abs(r).max()
+        assert rel < 1e-11, (name, rel)
