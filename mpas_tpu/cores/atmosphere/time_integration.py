@@ -98,7 +98,8 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     state1 = state1.replace(theta_m=xch.cell(state1.theta_m),
                             w=xch.cell(state1.w),
                             rho_zz=xch.cell(state1.rho_zz),
-                            u=xch.edge(state1.u))
+                            u=xch.edge(state1.u),
+                            scalars=xch.cell(state1.scalars))
     diag = diag.replace(pressure_p=xch.cell(diag.pressure_p),
                         rtheta_p=xch.cell(diag.rtheta_p),
                         exner=xch.cell(diag.exner),
@@ -200,10 +201,37 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
 
     ruAvg = ruAvg_split / split
     wwAvg = wwAvg_split / split
+
+    # split RK3 scalar transport with the time-averaged mass fluxes
+    # (ref: RK3_SPLIT_TRANSPORT :1230-1580; Skamarock & Gassmann 2011)
+    scalars = state1.scalars
+    if cfg.config_scalar_advection and scalars.shape[-1] > 0:
+        from mpas_tpu.cores.atmosphere.transport import (advance_scalars,
+                                                         advance_scalars_mono)
+        if order == 3:
+            tr_ts = (dt / 3.0, dt / 2.0, dt)
+        else:
+            tr_ts = (dt / 2.0, dt / 2.0, dt)
+        sc_old = scalars
+        sc_new = scalars
+        limited = cfg.config_monotonic or cfg.config_positive_definite
+        for rk in (1, 2, 3):
+            if rk < 3 or not limited:
+                sc_new = advance_scalars(
+                    grid, cfg, sc_old, sc_new, rho_zz_old_split, rho2,
+                    ruAvg, wwAvg, tr_ts[rk - 1], rk, True)
+            else:
+                sc_new = advance_scalars_mono(
+                    grid, cfg, sc_old, sc_new, rho_zz_old_split, rho2,
+                    ruAvg, wwAvg, tr_ts[rk - 1], True,
+                    positive_definite_only=not cfg.config_monotonic)
+            sc_new = xch.cell(sc_new)
+        scalars = sc_new
+
     ur_cell, vr_cell = reconstruct_cell_winds(grid, u2)
 
     state2 = AtmState(u=u2, w=w2, theta_m=th2, rho_zz=rho2,
-                      scalars=state1.scalars)
+                      scalars=scalars)
     diag2 = AtmDiag(ru=ru, rw=rw, rho_p=rho_p, rtheta_p=rtheta_p,
                     exner=exner, pressure_p=pressure_p,
                     ruAvg=ruAvg, wwAvg=wwAvg)
