@@ -31,9 +31,9 @@ def hex_lattice_points(nx: int, ny: int, dc: float):
     return np.stack([x.ravel(), y.ravel()], axis=-1)
 
 
-def planar_voronoi_mesh(points_xy, x_period: float, y_period: float,
-                        dtype=np.float64) -> Mesh:
-    """Build a doubly periodic planar Voronoi Mesh from generator points."""
+def _planar_topology(points_xy, x_period: float, y_period: float):
+    """Raw (cell_xyz, vertex_xyz, vertices_on_cell) of the periodic Voronoi
+    diagram of the generators."""
     pts = np.asarray(points_xy, dtype=np.float64)
     n = pts.shape[0]
     tiles = []
@@ -83,8 +83,43 @@ def planar_voronoi_mesh(points_xy, x_period: float, y_period: float,
     vxyz[:, :2] = np.asarray(vxy)
     cxyz = np.zeros((n, 3))
     cxyz[:, :2] = np.mod(pts, [x_period, y_period])
-    return build_mesh(cxyz, vxyz, vertices_on_cell, on_sphere=False,
+    return cxyz, vxyz, vertices_on_cell
+
+
+def planar_voronoi_mesh(points_xy, x_period: float, y_period: float,
+                        dtype=np.float64) -> Mesh:
+    """Build a doubly periodic planar Voronoi Mesh from generator points."""
+    cxyz, vxyz, voc = _planar_topology(points_xy, x_period, y_period)
+    return build_mesh(cxyz, vxyz, voc, on_sphere=False,
                       x_period=x_period, y_period=y_period, dtype=dtype)
+
+
+def cull_cells(cell_xyz, vertex_xyz, vertices_on_cell, keep):
+    """Drop cells where keep is False; orphaned vertices removed and
+    everything renumbered. Edges that lose one cell become boundary edges
+    when the topology is built (the TPU-native analogue of MPAS-Tools'
+    MpasCellCuller used for channel/coastal meshes)."""
+    keep = np.asarray(keep, dtype=bool)
+    new_cell = np.cumsum(keep) - 1
+    voc_new = [vertices_on_cell[c] for c in range(len(keep)) if keep[c]]
+    used = sorted({int(v) for ring in voc_new for v in ring})
+    vmap = {v: i for i, v in enumerate(used)}
+    voc_new = [[vmap[int(v)] for v in ring] for ring in voc_new]
+    return cell_xyz[keep], vertex_xyz[used], voc_new
+
+
+def channel_hex_mesh(nx: int, ny: int, dc: float, dtype=np.float64) -> Mesh:
+    """Hex mesh periodic in x with solid walls in y (top/bottom cell rows
+    culled) — the planar channel domain of the ocean baroclinic-channel
+    config (ref: compass baroclinic_channel mesh step)."""
+    pts = hex_lattice_points(nx, ny, dc)
+    Lx, Ly = nx * dc, ny * dc * np.sqrt(3.0) / 2.0
+    cxyz, vxyz, voc = _planar_topology(pts, Lx, Ly)
+    row = (np.arange(nx * ny) // nx)
+    keep = (row > 0) & (row < ny - 1)
+    cxyz, vxyz, voc = cull_cells(cxyz, vxyz, voc, keep)
+    return build_mesh(cxyz, vxyz, voc, on_sphere=False,
+                      x_period=Lx, y_period=0.0, dtype=dtype)
 
 
 def planar_hex_mesh(nx: int, ny: int, dc: float, dtype=np.float64) -> Mesh:
