@@ -47,3 +47,8 @@ class AtmConfig:
     config_h_ScaleWithMesh: bool = False
     config_nvertlevels: int = 26
     config_ztop: float = 30000.0
+    config_calendar_type: str = "gregorian_noleap"
+    config_start_time: str = "0000-01-01_00:00:00"
+    config_run_duration: str = "none"
+    config_stop_time: str = "none"
+    config_do_restart: bool = False

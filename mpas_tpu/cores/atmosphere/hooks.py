@@ -1,0 +1,108 @@
+"""Atmosphere core hooks for the run driver (ref: atm_setup_core,
+mpas_atm_core_interface.F)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpas_tpu.framework.driver import CoreHooks
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.init_jw import init_jw
+from mpas_tpu.cores.atmosphere.state import AtmDiag, AtmState
+from mpas_tpu.cores.atmosphere.time_integration import (AtmCarry, init_carry,
+                                                        run_steps)
+from mpas_tpu.cores.sw.hooks import parse_mesh_spec
+from mpas_tpu.ops.reconstruct import build_reconstruct_coeffs, reconstruct
+
+
+@dataclasses.dataclass
+class _AtmRun:
+    grid: object
+    cfg: AtmConfig
+    carry: AtmCarry
+    recon: object
+
+
+def _setup(cfg: AtmConfig, mesh_spec: str):
+    mesh0 = parse_mesh_spec(mesh_spec)
+    grid, state, diag = init_jw(mesh0, cfg, case=2)
+    recon = jnp.asarray(build_reconstruct_coeffs(grid.mesh))
+    gj = jax.tree.map(jnp.asarray, grid)
+    carry = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                       jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+    return _AtmRun(grid=gj, cfg=cfg, carry=carry, recon=recon)
+
+
+def _step_chunk(run: _AtmRun, n: int):
+    run.carry = run_steps(run.grid, run.cfg, run.carry,
+                          jnp.asarray(run.cfg.config_dt,
+                                      dtype=run.carry.state.theta_m.dtype), n)
+    return run
+
+
+def _fields(run: _AtmRun, restart: bool):
+    g = run.grid
+    s = run.carry.state
+    d = run.carry.diag
+    out = {
+        "u": (("nEdges", "nVertLevels"), np.asarray(s.u)),
+        "w": (("nCells", "nVertLevelsP1"), np.asarray(s.w)),
+        "theta_m": (("nCells", "nVertLevels"), np.asarray(s.theta_m)),
+        "rho_zz": (("nCells", "nVertLevels"), np.asarray(s.rho_zz)),
+        "scalars": (("nCells", "nVertLevels", "nScalars"),
+                    np.asarray(s.scalars)),
+    }
+    if restart:
+        out.update({
+            "ru": (("nEdges", "nVertLevels"), np.asarray(d.ru)),
+            "rw": (("nCells", "nVertLevelsP1"), np.asarray(d.rw)),
+            "rho_p": (("nCells", "nVertLevels"), np.asarray(d.rho_p)),
+            "rtheta_p": (("nCells", "nVertLevels"), np.asarray(d.rtheta_p)),
+            "exner": (("nCells", "nVertLevels"), np.asarray(d.exner)),
+            "pressure_p": (("nCells", "nVertLevels"),
+                           np.asarray(d.pressure_p)),
+        })
+    else:
+        _, _, _, zon, mer = reconstruct(g.mesh, run.recon, s.u)
+        out["uReconstructZonal"] = (("nCells", "nVertLevels"),
+                                    np.asarray(zon))
+        out["uReconstructMeridional"] = (("nCells", "nVertLevels"),
+                                         np.asarray(mer))
+        out["surface_pressure"] = (("nCells",), np.asarray(
+            d.pressure_p[:, 0] + g.pressure_base[:, 0]))
+    nz = run.cfg.config_nvertlevels
+    dims = {"nCells": g.mesh.nCells, "nEdges": g.mesh.nEdges,
+            "nVertLevels": nz, "nVertLevelsP1": nz + 1,
+            "nScalars": s.scalars.shape[-1]}
+    return out, dims
+
+
+def _resume(run: _AtmRun, data: dict):
+    st = AtmState(u=jnp.asarray(data["u"]), w=jnp.asarray(data["w"]),
+                  theta_m=jnp.asarray(data["theta_m"]),
+                  rho_zz=jnp.asarray(data["rho_zz"]),
+                  scalars=jnp.asarray(data["scalars"]))
+    dg = AtmDiag(ru=jnp.asarray(data["ru"]), rw=jnp.asarray(data["rw"]),
+                 rho_p=jnp.asarray(data["rho_p"]),
+                 rtheta_p=jnp.asarray(data["rtheta_p"]),
+                 exner=jnp.asarray(data["exner"]),
+                 pressure_p=jnp.asarray(data["pressure_p"]),
+                 ruAvg=jnp.zeros_like(jnp.asarray(data["ru"])),
+                 wwAvg=jnp.zeros_like(jnp.asarray(data["rw"])))
+    run.carry = init_carry(run.grid, run.cfg, st, dg, run.cfg.config_dt)
+    return run
+
+
+HOOKS = CoreHooks(name="atmosphere", config_cls=AtmConfig, setup=_setup,
+                  step_chunk=_step_chunk,
+                  output_fields=lambda r: _fields(r, False),
+                  restart_fields=lambda r: _fields(r, True),
+                  resume=_resume)
+
+
+def default_mesh(cfg: AtmConfig) -> str:
+    return "icos:16"

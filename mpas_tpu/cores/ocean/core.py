@@ -56,6 +56,11 @@ class OcnConfig:
     config_bottom_drag_coeff: float = 1.0e-3
     config_apvm_upwinding: float = 0.5
     config_rayleigh_friction: float = 0.0
+    config_calendar_type: str = "gregorian_noleap"
+    config_start_time: str = "0000-01-01_00:00:00"
+    config_run_duration: str = "none"
+    config_stop_time: str = "none"
+    config_do_restart: bool = False
 
 
 @struct.dataclass
