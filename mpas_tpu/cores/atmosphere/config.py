@@ -45,6 +45,13 @@ class AtmConfig:
     config_rayleigh_damp_u_timescale_days: float = 5.0
     config_number_rayleigh_damp_u_levels: int = 6
     config_h_ScaleWithMesh: bool = False
+    # physics suite (ref: Registry.xml config_microp_scheme; "off" runs the
+    # dry/moist dynamics without microphysics)
+    config_microp_scheme: str = "off"
+    # idealized init case (ref: core_init_atmosphere Registry.xml
+    # config_init_case; 1-3 = JW baroclinic wave, 4 = squall line,
+    # 5 = supercell)
+    config_init_case: int = 2
     config_nvertlevels: int = 26
     config_ztop: float = 30000.0
     config_calendar_type: str = "gregorian_noleap"

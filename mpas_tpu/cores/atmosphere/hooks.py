@@ -29,7 +29,12 @@ class _AtmRun:
 
 def _setup(cfg: AtmConfig, mesh_spec: str):
     mesh0 = parse_mesh_spec(mesh_spec)
-    grid, state, diag = init_jw(mesh0, cfg, case=2)
+    if cfg.config_init_case in (4, 5):
+        from mpas_tpu.cores.atmosphere.init_supercell import init_supercell
+        grid, state, diag = init_supercell(mesh0, cfg,
+                                           case=cfg.config_init_case)
+    else:
+        grid, state, diag = init_jw(mesh0, cfg, case=cfg.config_init_case)
     recon = jnp.asarray(build_reconstruct_coeffs(grid.mesh))
     gj = jax.tree.map(jnp.asarray, grid)
     carry = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
@@ -74,6 +79,7 @@ def _fields(run: _AtmRun, restart: bool):
                                          np.asarray(mer))
         out["surface_pressure"] = (("nCells",), np.asarray(
             d.pressure_p[:, 0] + g.pressure_base[:, 0]))
+        out["rainnc"] = (("nCells",), np.asarray(run.carry.rainnc))
     nz = run.cfg.config_nvertlevels
     dims = {"nCells": g.mesh.nCells, "nEdges": g.mesh.nEdges,
             "nVertLevels": nz, "nVertLevelsP1": nz + 1,
@@ -105,4 +111,6 @@ HOOKS = CoreHooks(name="atmosphere", config_cls=AtmConfig, setup=_setup,
 
 
 def default_mesh(cfg: AtmConfig) -> str:
+    if cfg.config_init_case in (4, 5):
+        return "hex:40,40,2000"
     return "icos:16"

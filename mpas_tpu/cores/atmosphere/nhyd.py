@@ -196,11 +196,28 @@ class EulerTends(NamedTuple):
     tend_rho: Any
 
 
+def compute_moist_coefficients(grid: AtmGrid, scalars, n_moist: int = 3):
+    """Moisture coupling coefficients (ref: atm_compute_moist_coefficients,
+    mpas_atm_time_integration.F:1862-1933): qtot = sum of moist species at
+    cells, cqw = 1/(1+qtot) at cell interfaces, cqu = 1/(1+qtot) at edges.
+    Returns (qtot (nC,nz), cqw (nC,nz+1), cqu (nE,nz))."""
+    mesh = grid.mesh
+    nm = min(n_moist, scalars.shape[-1])
+    qtot = jnp.sum(scalars[..., :nm], axis=-1)
+    q_int = 0.5 * (qtot[:, 1:] + qtot[:, :-1])
+    zpad = jnp.zeros_like(qtot[:, :1])
+    cqw = 1.0 / (1.0 + jnp.concatenate([zpad, q_int, zpad], axis=-1))
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    cqu = 1.0 / (1.0 + 0.5 * (qtot[c1] + qtot[c2]))
+    return qtot, cqw, cqu
+
+
 def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
                      u, w, theta_m, rho_zz, diag: AtmSolveDiag,
                      ru, rw, ru_save, rw_save, theta_m_save, rho_p_save,
                      pressure_p, ur_cell, vr_cell,
-                     euler: EulerTends | None, cqu=None, cqw=None):
+                     euler: EulerTends | None, cqu=None, cqw=None,
+                     qtot=None, rt_diabatic_tend=None):
     """Returns (tend_u, tend_rho, tend_theta, tend_w_raw, h_divergence,
     euler). tend_w_raw is the physical-w tendency before the omega
     conversion of set_smlstep_pert_variables."""
@@ -219,7 +236,11 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     # --- rk_step 1: tend_rho, dpdz, kdiff (ref :4737-4766) -----------------
     if rk_step == 1:
         tend_rho = -h_divergence - rdzw * (rw[:, 1:] - rw[:, :-1])
-        dpdz = -gravity * rho_p_save          # dry: qtot=0 (ref :4763)
+        if qtot is None:
+            dpdz = -gravity * rho_p_save      # dry: qtot=0 (ref :4763)
+        else:
+            dpdz = -gravity * (grid.rho_base * qtot
+                               + rho_p_save * (1.0 + qtot))   # (ref :4763)
         if cfg.config_horiz_mixing == "2d_smagorinsky":
             kdiff = smagorinsky_kdiff(grid, cfg, u, diag.v, dt)
             h_mom_visc4 = cfg.config_visc4_2dsmag * cfg.config_len_disp ** 3
@@ -504,6 +525,10 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     tend_theta = tend_theta * mesh.invAreaCell[:, None] \
         - rdzw * (wdtz[:, 1:] - wdtz[:, :-1])
     tend_theta = tend_theta + tend_theta_euler
+    if rt_diabatic_tend is not None:
+        # physics heating applied during the RK stages, removed again at
+        # recover_large_step_variables rk_step 3 (ref :5352, :3025)
+        tend_theta = tend_theta + rho_zz * rt_diabatic_tend
 
     new_euler = EulerTends(tend_u_euler=tend_u_euler,
                            tend_w_euler=tend_w_euler,

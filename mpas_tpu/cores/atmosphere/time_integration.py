@@ -42,6 +42,9 @@ class AtmCarry:
     sdiag_rho_edge: Any
     ur_cell: Any
     vr_cell: Any
+    # physics coupling (ref: tend pool rt_diabatic_tend; diag_physics rainnc)
+    rt_diabatic_tend: Any
+    rainnc: Any
 
 
 def init_carry(grid: AtmGrid, cfg: AtmConfig, state: AtmState,
@@ -54,7 +57,9 @@ def init_carry(grid: AtmGrid, cfg: AtmConfig, state: AtmState,
     return AtmCarry(state=state, diag=diag, v=sd.v, sdiag_ke=sd.ke,
                     sdiag_div=sd.divergence, sdiag_vort=sd.vorticity,
                     sdiag_pv_edge=sd.pv_edge, sdiag_rho_edge=sd.rho_edge,
-                    ur_cell=ur, vr_cell=vr)
+                    ur_cell=ur, vr_cell=vr,
+                    rt_diabatic_tend=jnp.zeros_like(state.theta_m),
+                    rainnc=jnp.zeros_like(state.theta_m[:, 0]))
 
 
 class _NoExchange:
@@ -78,6 +83,15 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     state1 = carry.state
     diag = carry.diag
     nz = grid.vert.nz
+
+    if cfg.config_microp_scheme not in ("off", "mp_kessler"):
+        raise ValueError(
+            f"unknown config_microp_scheme {cfg.config_microp_scheme!r}; "
+            "supported: 'off', 'mp_kessler'")
+    if cfg.config_microp_scheme == "mp_kessler" \
+            and state1.scalars.shape[-1] < 3:
+        raise ValueError("mp_kessler requires scalars (qv, qc, qr); "
+                         f"got {state1.scalars.shape[-1]} scalar(s)")
 
     order = cfg.config_time_integration_order
     ns = cfg.config_number_of_sub_steps
@@ -119,6 +133,18 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     ur_cell, vr_cell = carry.ur_cell, carry.vr_cell
     rho_zz_old_split = rho1
 
+    # moist coupling (ref: atm_compute_moist_coefficients :410, computed once
+    # per srk3 from time-level-1 scalars). Shape-static gate: a run carrying
+    # at least (qv,qc,qr) is moist; the dry JW/mountain-wave configs carry a
+    # single passive scalar and take the exact dry path.
+    moist = state1.scalars.shape[-1] >= 3
+    if moist:
+        from mpas_tpu.cores.atmosphere.nhyd import compute_moist_coefficients
+        qtot, cqw, cqu = compute_moist_coefficients(grid, state1.scalars)
+        rt_diab = carry.rt_diabatic_tend
+    else:
+        qtot, cqw, cqu, rt_diab = None, None, None, None
+
     ruAvg_split = jnp.zeros_like(ru)
     wwAvg_split = jnp.zeros_like(rw)
     ruAvg = jnp.zeros_like(ru)
@@ -131,17 +157,20 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
         th_save = th1
         # u2 etc. already equal time level 1 values at substep start
 
-        coefs = vert_imp_coefs(grid, cfg, rk_sub[0], th2, exner, rtheta_p)
+        mkw = {} if not moist else {"qtot": qtot, "cqw": cqw}
+        coefs = vert_imp_coefs(grid, cfg, rk_sub[0], th2, exner, rtheta_p,
+                               **mkw)
         euler = None
         for rk in (1, 2, 3):
             if order == 3 and rk == 2:
                 coefs = vert_imp_coefs(grid, cfg, rk_sub[1], th2, exner,
-                                       rtheta_p)
+                                       rtheta_p, **mkw)
             (tend_u, tend_rho, tend_theta, tend_w_raw, h_div,
              euler) = compute_dyn_tend(
                 grid, cfg, rk, dt, u2, w2, th2, rho2, sd, ru, rw,
                 ru_save, rw_save, th_save, rho_p_save, pressure_p,
-                ur_cell, vr_cell, euler)
+                ur_cell, vr_cell, euler, cqu=cqu, cqw=cqw,
+                qtot=qtot, rt_diabatic_tend=rt_diab)
             # ref: tend_u halo exchange before the omega conversion (:788)
             tend_u = xch.edge(tend_u)
             tend_rw = set_smlstep_pert_variables(grid, tend_u, tend_w_raw)
@@ -160,7 +189,8 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
                 av = acoustic_step(
                     grid, cfg, coefs, av, small, rk_sub[rk - 1],
                     th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
-                    tend_u, tend_rho, tend_theta, tend_rw)
+                    tend_u, tend_rho, tend_theta, tend_rw,
+                    cqu=cqu if moist else 1.0)
                 av = av._replace(rtheta_pp=xch.cell(av.rtheta_pp))
                 av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
                                            th_save)
@@ -176,7 +206,8 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
             (u2, w2, th2, rho2, ru, rw, rho_p, rtheta_p, exner_new,
              pressure_p_new, ruAvg, wwAvg) = recover_large_step_variables(
                 grid, cfg, av, rk, rk_timestep[rk - 1], nsub[rk - 1],
-                rho_p_save, rtheta_p_save, ru_save, rw_save, th2)
+                rho_p_save, rtheta_p_save, ru_save, rw_save, th2,
+                rt_diabatic_tend=rt_diab if moist else 0.0)
             if rk == 3:
                 exner, pressure_p = exner_new, pressure_p_new
 
@@ -228,6 +259,23 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
             sc_new = xch.cell(sc_new)
         scalars = sc_new
 
+    # microphysics runs inside the timestep after transport, on the new time
+    # level; the saturation-adjustment theta tendency feeds the next step's
+    # dynamics (ref: atm_srk3 :1654 driver_microphysics)
+    rt_diab_out = carry.rt_diabatic_tend
+    rainnc = carry.rainnc
+    if cfg.config_microp_scheme == "mp_kessler" and moist:
+        from mpas_tpu.cores.atmosphere.physics.driver import microphysics_step
+        (th2, scalars, rtheta_p, exner, pressure_p, rt_diab_out,
+         rain) = microphysics_step(grid, th2, rho2, scalars, exner, dt)
+        th2 = xch.cell(th2)
+        scalars = xch.cell(scalars)
+        rtheta_p = xch.cell(rtheta_p)
+        exner = xch.cell(exner)
+        pressure_p = xch.cell(pressure_p)
+        rt_diab_out = xch.cell(rt_diab_out)
+        rainnc = rainnc + rain
+
     ur_cell, vr_cell = reconstruct_cell_winds(grid, u2)
 
     state2 = AtmState(u=u2, w=w2, theta_m=th2, rho_zz=rho2,
@@ -238,7 +286,8 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     return AtmCarry(state=state2, diag=diag2, v=sd.v, sdiag_ke=sd.ke,
                     sdiag_div=sd.divergence, sdiag_vort=sd.vorticity,
                     sdiag_pv_edge=sd.pv_edge, sdiag_rho_edge=sd.rho_edge,
-                    ur_cell=ur_cell, vr_cell=vr_cell)
+                    ur_cell=ur_cell, vr_cell=vr_cell,
+                    rt_diabatic_tend=rt_diab_out, rainnc=rainnc)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4))

@@ -44,7 +44,9 @@ def test_atm_decomp_invariance(sphere_mesh_small, n_parts):
         sdiag_div=c(carry0.sdiag_div), sdiag_vort=v(carry0.sdiag_vort),
         sdiag_pv_edge=e(carry0.sdiag_pv_edge),
         sdiag_rho_edge=e(carry0.sdiag_rho_edge),
-        ur_cell=c(carry0.ur_cell), vr_cell=c(carry0.vr_cell))
+        ur_cell=c(carry0.ur_cell), vr_cell=c(carry0.vr_cell),
+        rt_diabatic_tend=c(carry0.rt_diabatic_tend),
+        rainnc=c(carry0.rainnc))
     dmesh = device_mesh(n_parts)
     gst = jax.tree.map(jnp.asarray, satm.grid)
     smst = jax.tree.map(jnp.asarray, sm)

@@ -1,0 +1,141 @@
+"""Kessler microphysics + supercell moist dynamics tests.
+
+ref test strategy: the reference validates moist physics through the
+squall-line/supercell idealized cases (SURVEY §4; mpas_init_atm_cases.F:1313)
+— a warm bubble in a conditionally unstable sheared sounding must produce an
+updraft, cloud water, then surface rain, while conserving total water.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.atmosphere.config import AtmConfig
+from mpas_tpu.cores.atmosphere.init_supercell import init_supercell
+from mpas_tpu.cores.atmosphere.physics.kessler import kessler, sediment_rain
+from mpas_tpu.cores.atmosphere.time_integration import init_carry, run_steps
+from mpas_tpu.mesh.planar import planar_hex_mesh
+
+
+class TestKessler:
+    def _column(self, nz=20, nc=3):
+        z = np.linspace(0.0, 10e3, nz + 1)
+        dz = np.diff(z)[None, :] * np.ones((nc, 1))
+        zmid = 0.5 * (z[:-1] + z[1:])
+        pii_ = (1.0 - 0.7 * zmid / 3.0e4)[None, :] * np.ones((nc, 1))
+        rho = 1.2 * pii_ ** 2.5
+        return dz, pii_, rho
+
+    def test_saturation_adjustment_conserves_water(self):
+        dz, pii_, rho = self._column()
+        nc, nz = rho.shape
+        theta = 300.0 * np.ones((nc, nz))
+        qv = 0.028 * np.exp(-np.arange(nz) / 6.0)[None, :] * np.ones((nc, 1))
+        qc = np.zeros((nc, nz))
+        qr = np.zeros((nc, nz))
+        th, qv2, qc2, qr2, rain = jax.jit(kessler)(
+            jnp.asarray(theta), jnp.asarray(qv), jnp.asarray(qc),
+            jnp.asarray(qr), jnp.asarray(rho), jnp.asarray(pii_),
+            jnp.asarray(dz), 10.0)
+        assert float(qc2.max()) > 1e-4          # condensation happened
+        assert float((th - theta).max()) > 0.5  # latent heating
+        tot0 = float((qv * rho * dz).sum())
+        tot1 = float(((qv2 + qc2 + qr2) * rho * dz).sum()) \
+            + float(rain.sum()) * 1000.0
+        assert abs(tot1 - tot0) / tot0 < 1e-12
+
+    def test_subsaturated_column_is_inert(self):
+        dz, pii_, rho = self._column()
+        nc, nz = rho.shape
+        theta = 310.0 * np.ones((nc, nz))
+        qv = 1e-4 * np.ones((nc, nz))
+        z = jnp.zeros((nc, nz))
+        th, qv2, qc2, qr2, rain = jax.jit(kessler)(
+            jnp.asarray(theta), jnp.asarray(qv), z, z,
+            jnp.asarray(rho), jnp.asarray(pii_), jnp.asarray(dz), 10.0)
+        np.testing.assert_allclose(np.asarray(th), theta)
+        np.testing.assert_allclose(np.asarray(qv2), qv)
+        assert float(jnp.abs(qc2).max()) == 0.0
+        assert float(rain.max()) == 0.0
+
+    def test_sedimentation_moves_rain_down_and_out(self):
+        dz, _, rho = self._column()
+        nc, nz = rho.shape
+        qr = np.zeros((nc, nz))
+        qr[:, nz // 2] = 0.005
+        qr_new, rain = jax.jit(sediment_rain)(
+            jnp.asarray(qr), jnp.asarray(rho), jnp.asarray(dz), 600.0)
+        qr_new, rain = np.asarray(qr_new), np.asarray(rain)
+        # center of mass moved down
+        zmid = np.arange(nz)
+        com0 = (qr * zmid).sum() / qr.sum()
+        com1 = (qr_new * rho * zmid).sum() / max((qr_new * rho).sum(), 1e-30)
+        assert com1 < com0
+        # mass balance: column rain water + fallout conserved
+        m0 = float((qr * rho * dz).sum(axis=1)[0])
+        m1 = float((qr_new * rho * dz).sum(axis=1)[0]) \
+            + float(rain[0]) * 1000.0
+        assert abs(m1 - m0) / m0 < 1e-12
+        assert rain[0] > 0.0                    # some reached the surface
+        assert float(qr_new.min()) >= -1e-15
+
+
+@pytest.fixture(scope="module")
+def supercell_run():
+    mesh = planar_hex_mesh(16, 16, 2000.0)
+    cfg = AtmConfig(config_dt=12.0, config_nvertlevels=16,
+                    config_len_disp=2000.0, config_xnutr=0.0,
+                    config_microp_scheme="mp_kessler")
+    grid, state, diag = init_supercell(mesh, cfg, case=5)
+    gj = jax.tree.map(jnp.asarray, grid)
+    carry0 = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                        jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+    carry = run_steps(gj, cfg, carry0, cfg.config_dt, 100)  # 20 min
+    return grid, cfg, carry0, carry
+
+
+class TestSupercell:
+    def test_initial_state_balanced(self, supercell_run):
+        grid, cfg, carry0, _ = supercell_run
+        # one step from the balanced+bubble state must not blow up w
+        gj = jax.tree.map(jnp.asarray, grid)
+        c1 = run_steps(gj, cfg, carry0, cfg.config_dt, 1)
+        assert float(jnp.abs(c1.state.w).max()) < 1.0
+
+    def test_updraft_and_rain_develop(self, supercell_run):
+        _, _, _, carry = supercell_run
+        w = np.asarray(carry.state.w)
+        assert np.isfinite(w).all()
+        assert w.max() > 5.0                    # convective updraft
+        sc = np.asarray(carry.state.scalars)
+        assert sc[..., 1].max() > 1e-4          # cloud water formed
+        assert sc[..., 2].max() > 1e-4          # rain formed
+        assert sc.min() > -1e-10                # monotonic transport held
+
+    def test_total_water_conserved(self, supercell_run):
+        grid, _, carry0, carry = supercell_run
+        dz = np.asarray(grid.zgrid[:, 1:] - grid.zgrid[:, :-1])
+        area = np.asarray(grid.mesh.areaCell)[:, None]
+
+        def water_mass(c):
+            rho_dry = np.asarray(c.state.rho_zz) * np.asarray(grid.zz)
+            q = np.asarray(c.state.scalars).sum(-1)
+            col = (rho_dry * q * dz * area).sum()
+            rain = (np.asarray(c.rainnc) * 1000.0
+                    * np.asarray(grid.mesh.areaCell)).sum()
+            return col + rain
+
+        m0, m1 = water_mass(carry0), water_mass(carry)
+        assert abs(m1 - m0) / m0 < 1e-7
+
+    def test_dry_columns_unperturbed_before_wave_arrival(self, supercell_run):
+        grid, cfg, carry0, _ = supercell_run
+        # after 1 step, cells far from the bubble keep their sounding theta
+        gj = jax.tree.map(jnp.asarray, grid)
+        c1 = run_steps(gj, cfg, carry0, cfg.config_dt, 1)
+        th0 = np.asarray(carry0.state.theta_m)
+        th1 = np.asarray(c1.state.theta_m)
+        x = np.asarray(grid.mesh.xCell)
+        far = np.abs(x - 0.5 * x.max()) > 0.4 * x.max()
+        assert np.abs(th1[far] - th0[far]).max() < 1e-2
