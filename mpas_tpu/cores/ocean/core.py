@@ -43,6 +43,7 @@ from mpas_tpu.ops.matrix import tridiagonal_solve
 class OcnConfig:
     """ref: src/core_ocean/Registry.xml namelist (subset)."""
     config_dt: float = 300.0
+    config_time_integrator: str = "split_explicit"   # or "RK4"
     config_eos_linear_alpha: float = 0.2
     config_eos_linear_beta: float = 0.8
     config_eos_linear_Tref: float = 5.0
@@ -54,8 +55,20 @@ class OcnConfig:
     config_vert_visc: float = 1.0e-4
     config_vert_diff: float = 1.0e-5
     config_bottom_drag_coeff: float = 1.0e-3
-    config_apvm_upwinding: float = 0.5
+    config_apvm_upwinding: float = 0.0   # ref: config_apvm_scale_factor = 0
     config_rayleigh_friction: float = 0.0
+    # split-explicit barotropic mode (ref: Registry.xml:947-991)
+    config_n_ts_iter: int = 2
+    config_n_bcl_iter_beg: int = 1
+    config_n_bcl_iter_mid: int = 2
+    config_n_bcl_iter_end: int = 2
+    config_btr_dt: float = 15.0          # ref: '0000_00:00:15'
+    config_btr_subcycle_loop_factor: int = 2
+    config_n_btr_cor_iter: int = 2
+    config_btr_gam1_velWt1: float = 0.5
+    config_btr_gam2_SSHWt1: float = 1.0
+    config_btr_gam3_velWt2: float = 1.0
+    config_vel_correction: bool = True
     config_calendar_type: str = "gregorian_noleap"
     config_start_time: str = "0000-01-01_00:00:00"
     config_run_duration: str = "none"
@@ -68,6 +81,9 @@ class OcnState:
     u: Any               # (nEdges, nz) normal velocity
     layerThickness: Any  # (nCells, nz)
     tracers: Any         # (nCells, nz, nT) uncoupled
+    # split-explicit barotropic mode velocity, persisted between steps
+    # (ref: state normalBarotropicVelocity). None on the RK4 path.
+    ubtr: Any = None     # (nEdges,)
 
 
 @struct.dataclass
@@ -102,23 +118,22 @@ def _ale_thickness_tend(grid: OcnGrid, div_hu):
     return tend_h, w_top
 
 
-def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
-    """(tend_u, tend_h, tend_hT) — one evaluation of all terms."""
-    mesh = grid.mesh
-    nz = grid.nz
-    u, h, tr = state.u, state.layerThickness, state.tracers
-    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
-    not_bnd = (1.0 - mesh.boundaryEdge)[:, None]
+def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
+                 planetary: bool = True):
+    """Velocity tendency T(u, w, p) (ref: ocn_tend_vel,
+    mpas_ocn_tendency.F:204).
 
+    planetary=False drops the planetary-vorticity part of the q-term
+    (ref: RK4On = 0 in ocn_vel_coriolis_tend for the split-explicit
+    integrator, mpas_ocn_vel_coriolis.F — planetary Coriolis is then handled
+    by fuperp iterations and the barotropic subcycle)."""
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    v1, v2 = mesh.verticesOnEdge[:, 0], mesh.verticesOnEdge[:, 1]
+    not_bnd = (1.0 - mesh.boundaryEdge)[:, None]
     h_edge = 0.5 * (h[c1] + h[c2])
     uh = u * h_edge
 
-    # --- thickness + ALE vertical transport --------------------------------
-    div_hu = jnp.sum(mesh.divW[..., None] * uh[mesh.edgesOnCell], axis=1) \
-        * mesh.invAreaCell[:, None]
-    tend_h, w_top = _ale_thickness_tend(grid, div_hu)
-
-    # --- diagnostics --------------------------------------------------------
     ke = jnp.sum(mesh.keW[..., None] * (u * u)[mesh.edgesOnCell], axis=1) \
         * mesh.invAreaCell[:, None]
     vorticity = jnp.sum(mesh.curlW[..., None] * u[mesh.edgesOnVertex],
@@ -126,27 +141,25 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     h_vertex = jnp.sum(mesh.kiteAreasOnVertex[..., None]
                        * h[mesh.cellsOnVertex], axis=1) \
         * mesh.invAreaTriangle[:, None]
-    pv_vertex = (mesh.fVertex[:, None] + vorticity) / h_vertex
-    v1, v2 = mesh.verticesOnEdge[:, 0], mesh.verticesOnEdge[:, 1]
+    f_part = mesh.fVertex[:, None] if planetary else 0.0
+    pv_vertex = (f_part + vorticity) / h_vertex
     pv_edge = 0.5 * (pv_vertex[v1] + pv_vertex[v2])
-    vt = jnp.sum(mesh.weightsOnEdge[..., None] * u[mesh.edgesOnEdge], axis=1)
-    gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
-    pv_edge = pv_edge - cfg.config_apvm_upwinding * vt * dt * gradPVt
+    if cfg.config_apvm_upwinding > 0.0:
+        vt = jnp.sum(mesh.weightsOnEdge[..., None] * u[mesh.edgesOnEdge],
+                     axis=1)
+        gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
+        pv_edge = pv_edge - cfg.config_apvm_upwinding * vt * dt * gradPVt
 
-    # --- pressure (hydrostatic, linear EOS) --------------------------------
+    # hydrostatic pressure at layer mid from the linear EOS
     rho = equation_of_state_linear(cfg, tr[..., 0], tr[..., 1])
-    # pressure at layer mid: p[0] = g rho0 h0/2; p[k] = p[k-1]
-    #   + g (rho[k-1] h[k-1] + rho[k] h[k]) / 2
     gh = gravity * rho * h
     inc = 0.5 * (gh[:, :-1] + gh[:, 1:])
     p = jnp.cumsum(jnp.concatenate([0.5 * gh[:, :1], inc], axis=1), axis=1)
-    # z_mid from SSH downward
     ssh = jnp.sum(h, axis=-1) - grid.bottomDepth
     depth_above = jnp.cumsum(jnp.concatenate(
         [jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1), axis=1)
     z_mid = ssh[:, None] - depth_above - 0.5 * h
 
-    # --- velocity tendency --------------------------------------------------
     eoe = mesh.edgesOnEdge
     workpv = 0.5 * (pv_edge[:, None, :] + pv_edge[eoe])
     q = jnp.sum(mesh.weightsOnEdge[..., None] * uh[eoe] * workpv, axis=1)
@@ -174,9 +187,17 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
             * mesh.invDvEdge[:, None])
     if cfg.config_rayleigh_friction > 0.0:
         tend_u = tend_u - cfg.config_rayleigh_friction * u
-    tend_u = tend_u * not_bnd
+    return tend_u * not_bnd
 
-    # --- tracer tendency (flux form, 2nd order) ----------------------------
+
+def tracer_tendency(grid: OcnGrid, cfg: OcnConfig, uh, w_top, h, tr):
+    """Thickness-weighted tracer tendency (ref: ocn_tend_tracer,
+    mpas_ocn_tendency.F:363): flux-form advection + del2 mixing."""
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    not_bnd = 1.0 - mesh.boundaryEdge
+    h_edge = 0.5 * (h[c1] + h[c2])
+
     tr_edge = 0.5 * (tr[c1] + tr[c2])
     fl = uh[..., None] * tr_edge
     tend_hT = -jnp.sum(mesh.edgeSignOnCell[..., None, None]
@@ -188,13 +209,35 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     fv = w_top[..., None] * tr_int
     tend_hT = tend_hT - (fv[:, :-1] - fv[:, 1:])
     if cfg.config_tracer_del2 > 0.0:
-        gt = (tr[c2] - tr[c1]) * (mesh.invDcEdge * not_bnd[:, 0])[:, None,
-                                                                 None]
+        gt = (tr[c2] - tr[c1]) * (mesh.invDcEdge * not_bnd)[:, None, None]
         hflux = h_edge[..., None] * gt
         tend_hT = tend_hT + cfg.config_tracer_del2 * jnp.sum(
             mesh.edgeSignOnCell[..., None, None]
             * (mesh.dvEdge[:, None, None] * hflux)[mesh.edgesOnCell],
             axis=1) * mesh.invAreaCell[:, None, None]
+    return tend_hT
+
+
+def thickness_tendency(grid: OcnGrid, uh):
+    """(div_hu, tend_h, w_top) from edge thickness fluxes (ref:
+    ocn_tend_thick + ocn_vert_transport_velocity_top)."""
+    mesh = grid.mesh
+    div_hu = jnp.sum(mesh.divW[..., None] * uh[mesh.edgesOnCell], axis=1) \
+        * mesh.invAreaCell[:, None]
+    tend_h, w_top = _ale_thickness_tend(grid, div_hu)
+    return div_hu, tend_h, w_top
+
+
+def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
+    """(tend_u, tend_h, tend_hT) — one evaluation of all terms (RK4 path)."""
+    mesh = grid.mesh
+    u, h, tr = state.u, state.layerThickness, state.tracers
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    h_edge = 0.5 * (h[c1] + h[c2])
+    uh = u * h_edge
+    _, tend_h, w_top = thickness_tendency(grid, uh)
+    tend_u = vel_tendency(grid, cfg, u, h, tr, w_top, dt, planetary=True)
+    tend_hT = tracer_tendency(grid, cfg, uh, w_top, h, tr)
     return tend_u, tend_h, tend_hT
 
 
@@ -254,8 +297,166 @@ def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt) -> OcnState:
             provis = OcnState(u=u0 + w * tu, layerThickness=hp,
                               tracers=(hT0 + w * thT) / hp[..., None])
     out = OcnState(u=u_acc, layerThickness=h_acc,
-                   tracers=hT_acc / h_acc[..., None])
+                   tracers=hT_acc / h_acc[..., None], ubtr=state.ubtr)
     return implicit_vertical_mix(grid, cfg, out, dt)
+
+
+def _fperp(mesh: Mesh, v, f_at_edges):
+    """Sum_j w_j * f(eoe) * v(eoe): the +f v_perp tangential reconstruction
+    (ref: ocn_fuperp, mpas_ocn_diagnostics.F:1062; also the CoriolisTerm of
+    the barotropic subcycle, mpas_ocn_time_integration_split.F:820-828)."""
+    eoe = mesh.edgesOnEdge
+    if v.ndim == 1:
+        return jnp.sum(mesh.weightsOnEdge * v[eoe] * f_at_edges[eoe], axis=1)
+    return jnp.sum(mesh.weightsOnEdge[..., None] * v[eoe]
+                   * f_at_edges[eoe][..., None], axis=1)
+
+
+def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
+               dt) -> OcnState:
+    """Split-explicit barotropic/baroclinic timestep (ref:
+    ocn_time_integrator_split, mpas_ocn_time_integration_split.F:82-1926;
+    Higdon 2005 scheme as implemented in MPAS-Ocean v7).
+
+    Per outer iteration (config_n_ts_iter, midpoint predictor-corrector):
+      stage 1  baroclinic prediction: n_bcl_iter fixed-point iterations on
+               the linear Coriolis term; the thickness-weighted vertical
+               mean is removed and becomes the barotropic forcing G (:525-618)
+      stage 2  barotropic subcycling over loop_factor*dt with
+               forward-backward SSH solve, velocity corrector iterations and
+               flux averaging (:632-1120); velocity correction (:1282-1345)
+      stage 3  thickness/tracer update with the time-averaged transport
+               velocity; midpoint state on non-final passes (:1390-1740)
+    followed by implicit vertical mixing. All subcycle loops are lax.scan
+    bodies — the reference's per-subcycle halo exchanges become the sharded
+    runner's exchange hooks.
+    """
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    not_bnd = 1.0 - mesh.boundaryEdge
+    g = gravity
+    f_edge = mesh.fEdge
+
+    u_cur, h_cur, tr_cur = state.u, state.layerThickness, state.tracers
+    ubtr_cur = state.ubtr * not_bnd
+    ubcl_cur = (u_cur - ubtr_cur[:, None]) * not_bnd[:, None]
+    ssh_cur = jnp.sum(h_cur, axis=-1) - grid.bottomDepth
+
+    n_ts = cfg.config_n_ts_iter
+    n_bcl = [cfg.config_n_bcl_iter_mid] * n_ts
+    n_bcl[0] = cfg.config_n_bcl_iter_beg
+    n_bcl[-1] = cfg.config_n_bcl_iter_end
+    n_btr = max(1, int(round(float(cfg.config_dt) / cfg.config_btr_dt)))
+    n_loop = n_btr * cfg.config_btr_subcycle_loop_factor
+    gam1 = cfg.config_btr_gam1_velWt1
+    gam2 = cfg.config_btr_gam2_SSHWt1
+    gam3 = cfg.config_btr_gam3_velWt2
+
+    grad_e = lambda fld: (fld[c2] - fld[c1]) * mesh.invDcEdge * not_bnd
+    # barotropic column thickness at edges (ref :906-907): sshEdge + min of
+    # the neighboring resting depths
+    min_depth = jnp.minimum(grid.bottomDepth[c1], grid.bottomDepth[c2])
+
+    def btr_div(flux):
+        return jnp.sum(mesh.divW * flux[mesh.edgesOnCell], axis=1) \
+            * mesh.invAreaCell
+
+    # working level-2 state
+    h_new, tr_new, ubcl_new, ssh_new = h_cur, tr_cur, ubcl_cur, ssh_cur
+    w_for_tend = jnp.zeros((mesh.nCells, grid.nz + 1), h_cur.dtype)
+    ubtr_avg = ubtr_cur
+    for outer in range(n_ts):
+        # --- stage 1: baroclinic prediction --------------------------------
+        if outer == 0:
+            u_st, h_st, tr_st = u_cur, h_cur, tr_cur
+        else:
+            u_st, h_st, tr_st = u_new, h_new, tr_new
+        h_edge = 0.5 * (h_st[c1] + h_st[c2])
+        h_edge_sum = jnp.sum(h_edge, axis=-1)
+        tend_u = vel_tendency(grid, cfg, u_st, h_st, tr_st, w_for_tend, dt,
+                              planetary=False)
+        for _ in range(n_bcl[outer]):
+            fperp = _fperp(mesh, ubcl_new, f_edge)
+            u_temp = ubcl_cur + dt * (tend_u + fperp
+                                      + g * grad_e(ssh_new)[:, None])
+            G = jnp.sum(h_edge * u_temp, axis=-1) / h_edge_sum / dt
+            ubcl_new = 0.5 * (ubcl_cur + u_temp - dt * G[:, None]) \
+                * not_bnd[:, None]
+
+        # --- stage 2: barotropic subcycling --------------------------------
+        dtb = dt / n_btr
+
+        def subcycle(carry, _):
+            ssh_o, ubtr_o, ubtr_acc, flux_acc = carry
+            # velocity predictor (ref :820-838)
+            cor = _fperp(mesh, ubtr_o, f_edge)
+            ubtr_n = not_bnd * (ubtr_o + dtb * (cor - g * grad_e(ssh_o) + G))
+            # SSH forward-backward solve + flux accumulation (ref :896-960)
+            ssh_e = 0.5 * (ssh_o[c1] + ssh_o[c2])
+            h_sum = ssh_e + min_depth
+            flux = ((1.0 - gam1) * ubtr_o + gam1 * ubtr_n) * h_sum * not_bnd
+            ssh_n = ssh_o - dtb * btr_div(flux)
+            flux_acc = flux_acc + flux
+            # velocity corrector iterations (ref :1020-1076)
+            for _ in range(cfg.config_n_btr_cor_iter):
+                cor = _fperp(mesh, ubtr_n, f_edge)
+                ssh_w = (1.0 - gam2) * ssh_o + gam2 * ssh_n
+                ubtr_n = not_bnd * (ubtr_o + dtb * (cor - g * grad_e(ssh_w)
+                                                    + G))
+            return (ssh_n, ubtr_n, ubtr_acc + ubtr_n, flux_acc), None
+
+        (ssh_sub, _, ubtr_acc, flux_acc), _ = jax.lax.scan(
+            subcycle, (ssh_cur, ubtr_cur, ubtr_cur,
+                       jnp.zeros_like(ubtr_cur)), None, length=n_loop)
+        flux_avg = flux_acc / n_loop
+        ubtr_avg = ubtr_acc / (n_loop + 1)
+
+        # velocity correction (ref :1282-1345)
+        u_full = ubtr_avg[:, None] + ubcl_new
+        if cfg.config_vel_correction:
+            corr = (flux_avg - jnp.sum(h_edge * u_full, axis=-1)) \
+                / h_edge_sum
+        else:
+            corr = jnp.zeros_like(ubtr_avg)
+        u_transport = (u_full + corr[:, None]) * not_bnd[:, None]
+
+        # --- stage 3: thickness / tracer update ----------------------------
+        uh = u_transport * h_edge
+        _, tend_h, w_top = thickness_tendency(grid, uh)
+        tend_hT = tracer_tendency(grid, cfg, uh, w_top, h_st, tr_new)
+        w_for_tend = w_top
+        if outer < n_ts - 1:
+            temp_h = h_cur + dt * tend_h
+            h_new = 0.5 * (h_cur + temp_h)
+            temp_tr = (tr_cur * h_cur[..., None] + dt * tend_hT) \
+                / temp_h[..., None]
+            tr_new = 0.5 * (tr_cur + temp_tr)
+            u_new = ubtr_avg[:, None] + ubcl_new
+            ssh_new = jnp.sum(h_new, axis=-1) - grid.bottomDepth
+        else:
+            h_new = h_cur + dt * tend_h
+            tr_new = (tr_cur * h_cur[..., None] + dt * tend_hT) \
+                / h_new[..., None]
+            # ubcl_new is at n+1/2: extrapolate to n+1 (ref :1733-1737)
+            u_new = ubtr_avg[:, None] + 2.0 * ubcl_new - ubcl_cur
+
+    out = OcnState(u=u_new * not_bnd[:, None], layerThickness=h_new,
+                   tracers=tr_new, ubtr=ubtr_avg)
+    mixed = implicit_vertical_mix(grid, cfg, out, dt)
+    return mixed.replace(ubtr=ubtr_avg)
+
+
+def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
+                 dt) -> OcnState:
+    """Integrator dispatch (ref: ocn_timestep,
+    mpas_ocn_time_integration.F:80)."""
+    if cfg.config_time_integrator == "split_explicit":
+        return split_step(grid, cfg, state, dt)
+    if cfg.config_time_integrator == "RK4":
+        return rk4_step(grid, cfg, state, dt)
+    raise ValueError(
+        f"unknown config_time_integrator {cfg.config_time_integrator!r}; "
+        "supported: 'split_explicit', 'RK4'")
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3))
@@ -264,7 +465,7 @@ def run_steps(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
     dt = jnp.asarray(cfg.config_dt, dtype=state.layerThickness.dtype)
 
     def body(s, _):
-        return rk4_step(grid, cfg, s, dt), None
+        return ocn_timestep(grid, cfg, s, dt), None
 
     final, _ = jax.lax.scan(body, state, None, length=n_steps)
     return final

@@ -44,6 +44,8 @@ def _fields(run: _OcnRun, restart: bool):
         "tracers": (("nCells", "nVertLevels", "nTracers"),
                     np.asarray(s.tracers)),
     }
+    if restart and s.ubtr is not None:
+        out["normalBarotropicVelocity"] = (("nEdges",), np.asarray(s.ubtr))
     if not restart:
         out["ssh"] = (("nCells",), np.asarray(
             jnp.sum(s.layerThickness, -1) - run.grid.bottomDepth))
@@ -53,7 +55,11 @@ def _fields(run: _OcnRun, restart: bool):
 
 
 def _resume(run: _OcnRun, data: dict):
-    run.state = OcnState(u=jnp.asarray(data["normalVelocity"]),
+    u = jnp.asarray(data["normalVelocity"])
+    ubtr = jnp.asarray(data["normalBarotropicVelocity"]) \
+        if "normalBarotropicVelocity" in data else jnp.zeros(u.shape[0],
+                                                             u.dtype)
+    run.state = OcnState(u=u, ubtr=ubtr,
                          layerThickness=jnp.asarray(data["layerThickness"]),
                          tracers=jnp.asarray(data["tracers"]))
     return run

@@ -73,7 +73,8 @@ def init_baroclinic_channel(mesh: Mesh, nz: int = 20, dtype=np.float64):
     grid = OcnGrid(mesh=mesh, restingThickness=h0.astype(dtype),
                    bottomDepth=np.full(nC, BOTTOM_DEPTH, dtype=dtype),
                    maxLevelCell=np.full(nC, nz, dtype=np.int32), nz=nz)
-    state = OcnState(u=np.zeros((mesh.nEdges, nz), dtype=dtype),
+    state = OcnState(ubtr=np.zeros(mesh.nEdges, dtype=dtype),
+                     u=np.zeros((mesh.nEdges, nz), dtype=dtype),
                      layerThickness=h0.astype(dtype),
                      tracers=tracers.astype(dtype))
     return grid, state

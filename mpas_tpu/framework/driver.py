@@ -42,6 +42,7 @@ class Driver:
         self.hooks = hooks
         self.cfg = cfg
         self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
         self.log = LogManager(hooks.name, run_dir=run_dir)
         self.timers = TimerManager()
 

@@ -76,3 +76,50 @@ class TestEOS:
         assert abs(float(rho) - 1000.0) < 1e-12
         rho2 = equation_of_state_linear(cfg, jnp.asarray(6.0), jnp.asarray(35.0))
         assert float(rho2) == pytest.approx(999.8)
+
+
+class TestSplitExplicit:
+    """ref: ocn_time_integrator_split (mpas_ocn_time_integration_split.F:82);
+    the split integrator must be stable at timesteps far beyond the
+    barotropic CFL limit of the unsplit RK4 path and agree with it on
+    resolved (slow) dynamics."""
+
+    def test_stable_beyond_barotropic_cfl(self, channel):
+        # dt=300 s: barotropic Courant ~3 — unsplit RK4 blows up here
+        grid, state = channel
+        cfg = OcnConfig(config_dt=300.0,
+                        config_time_integrator="split_explicit")
+        s = run_steps(grid, cfg, state, 144)      # 12 hours
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all()
+        assert np.abs(u).max() < 3.0
+        ssh = np.asarray(jnp.sum(s.layerThickness, -1) - grid.bottomDepth)
+        assert np.abs(ssh).max() < 1.0
+
+    def test_matches_rk4_on_slow_dynamics(self, channel):
+        grid, state = channel
+        s_split = run_steps(grid, OcnConfig(config_dt=300.0), state, 36)
+        s_rk4 = run_steps(
+            grid, OcnConfig(config_dt=30.0, config_time_integrator="RK4"),
+            state, 360)
+        du = np.abs(np.asarray(s_split.u) - np.asarray(s_rk4.u)).max()
+        uscale = float(jnp.abs(s_rk4.u).max())
+        assert du < 0.02 * max(uscale, 0.1)
+        dT = np.abs(np.asarray(s_split.tracers[..., 0])
+                    - np.asarray(s_rk4.tracers[..., 0])).max()
+        assert dT < 0.01
+
+    def test_volume_conserved(self, channel):
+        grid, state = channel
+        cfg = OcnConfig(config_dt=300.0)
+        area = grid.mesh.areaCell[:, None]
+        vol0 = float(jnp.sum(state.layerThickness * area))
+        s = run_steps(grid, cfg, state, 72)
+        vol1 = float(jnp.sum(s.layerThickness * area))
+        assert abs(vol1 - vol0) / vol0 < 1e-10
+
+    def test_unknown_integrator_raises(self, channel):
+        grid, state = channel
+        cfg = OcnConfig(config_time_integrator="leapfrog")
+        with pytest.raises(ValueError, match="config_time_integrator"):
+            run_steps(grid, cfg, state, 1)
