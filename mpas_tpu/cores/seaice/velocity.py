@@ -1,0 +1,236 @@
+"""EVP sea-ice velocity solver (weak discretization).
+
+ref: src/core_seaice/shared/mpas_seaice_velocity_solver.F (driver:
+seaice_run_velocity_solver :495, elastic subcycle :2326-2485, momentum solve
+solve_velocity :2593), mpas_seaice_velocity_solver_weak.F (strain :239,
+stress divergence :521), mpas_seaice_velocity_solver_constitutive_relation.F
+(EVP stress relaxation :150-215).
+
+TPU-native redesign: the whole elastic subcycle is a `lax.scan` over fused
+gather stencils — strains at cells (Green's-theorem line integrals over
+polygon edges), EVP stress relaxation (elementwise), stress divergence at
+vertices (line integrals around the dual triangle), and a closed-form 2x2
+momentum solve with semi-implicit water drag + Coriolis. No scatters; all
+indirection is destination-side gathers, masked by ice presence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mpas_tpu.cores.seaice.config import SeaiceConfig
+from mpas_tpu.cores.seaice.state import SeaiceForcing, SeaiceGrid, SeaiceState
+from mpas_tpu.ops import stencils as st
+
+# ref: mpas_seaice_velocity_solver_constitutive_relation.F:29-34
+_ECCENTRICITY2 = 4.0
+_DAMPING_PARAM = 0.36
+
+
+def aggregate_state(cfg: SeaiceConfig, state: SeaiceState):
+    """Sum the ITD over categories. ref: aggregate_mass_and_area
+    (mpas_seaice_velocity_solver.F:610)."""
+    ice_area = jnp.clip(jnp.sum(state.iceAreaCategory, axis=-1), 0.0, 1.0)
+    ice_vol = jnp.sum(state.iceVolumeCategory, axis=-1)
+    snow_vol = jnp.sum(state.snowVolumeCategory, axis=-1)
+    total_mass = cfg.rho_ice * ice_vol + cfg.rho_snow * snow_vol
+    return ice_area, ice_vol, snow_vol, total_mass
+
+
+def ice_strength(cfg: SeaiceConfig, ice_area, ice_vol):
+    """Hibler (1979) strength P = P* v exp(-C*(1-a)).
+    ref: ice_strength (mpas_seaice_velocity_solver.F:1263)."""
+    return (cfg.ice_strength_pstar * ice_vol
+            * jnp.exp(-cfg.ice_strength_cstar * (1.0 - ice_area)))
+
+
+def strain_tensor_weak(grid: SeaiceGrid, u_v, v_v, solve_stress):
+    """Cell-centered strain rates by Green's theorem over the polygon.
+    ref: seaice_strain_tensor_weak (mpas_seaice_velocity_solver_weak.F:239).
+    """
+    m = grid.mesh
+    voe = m.verticesOnEdge
+    u_edge = 0.5 * (u_v[voe[:, 0]] + u_v[voe[:, 1]])
+    v_edge = 0.5 * (v_v[voe[:, 0]] + v_v[voe[:, 1]])
+
+    eoc = m.edgesOnCell
+    ue = u_edge[eoc]
+    ve = v_edge[eoc]
+    dv = m.dvEdge[eoc] * (m.edgeSignOnCell != 0)
+    nE = grid.normalPolygonE
+    nN = grid.normalPolygonN
+    inv_a = m.invAreaCell
+
+    e11 = jnp.sum(ue * nE * dv, axis=1) * inv_a
+    e22 = jnp.sum(ve * nN * dv, axis=1) * inv_a
+    e12 = 0.5 * jnp.sum((ue * nN + ve * nE) * dv, axis=1) * inv_a
+
+    # spherical metric terms, ref weak strain :373-375 (zero on the plane)
+    u_c = st.vertex_to_cell_kite(m, u_v)
+    v_c = st.vertex_to_cell_kite(m, v_v)
+    e11 = e11 - v_c * grid.tanLatCellOverR
+    e12 = e12 + 0.5 * u_c * grid.tanLatCellOverR
+
+    msk = solve_stress
+    return e11 * msk, e22 * msk, e12 * msk
+
+
+def evp_constitutive(cfg: SeaiceConfig, s11, s22, s12, e11, e22, e12,
+                     pressure, dt_elastic, damping_timescale):
+    """One EVP stress relaxation step.
+    ref: seaice_evp_constitutive_relation
+    (mpas_seaice_velocity_solver_constitutive_relation.F:150-215)."""
+    div = e11 + e22
+    ten = e11 - e22
+    shr = 2.0 * e12
+    s1 = s11 + s22
+    s2 = s11 - s22
+
+    delta = jnp.sqrt(div * div + (ten * ten + shr * shr) / _ECCENTRICITY2)
+    pcoef = pressure / jnp.maximum(delta, cfg.puny)
+    replacement_pressure = pcoef * delta
+    pcoef = pcoef * dt_elastic / (2.0 * damping_timescale)
+    denom = 1.0 + 0.5 * dt_elastic / damping_timescale
+
+    s1 = (s1 + pcoef * (div - delta)) / denom
+    s2 = (s2 + (pcoef / _ECCENTRICITY2) * ten) / denom
+    s12 = (s12 + (pcoef / _ECCENTRICITY2) * shr * 0.5) / denom
+    return 0.5 * (s1 + s2), 0.5 * (s1 - s2), s12, replacement_pressure
+
+
+def stress_divergence_weak(grid: SeaiceGrid, s11, s22, s12, solve_velocity):
+    """Vertex stress divergence: line integral around the dual triangle.
+    ref: seaice_stress_divergence_weak
+    (mpas_seaice_velocity_solver_weak.F:521)."""
+    m = grid.mesh
+    coe = m.cellsOnEdge
+    s11e = 0.5 * (s11[coe[:, 0]] + s11[coe[:, 1]])
+    s22e = 0.5 * (s22[coe[:, 0]] + s22[coe[:, 1]])
+    s12e = 0.5 * (s12[coe[:, 0]] + s12[coe[:, 1]])
+
+    eov = m.edgesOnVertex
+    dc = m.dcEdge[eov] * (m.edgeSignOnVertex != 0)
+    nE = grid.normalTriangleE
+    nN = grid.normalTriangleN
+    inv_a = m.invAreaTriangle
+
+    div_u = jnp.sum((s11e[eov] * nE + s12e[eov] * nN) * dc, axis=1) * inv_a
+    div_v = jnp.sum((s22e[eov] * nN + s12e[eov] * nE) * dc, axis=1) * inv_a
+
+    # spherical metric terms, ref weak stress divergence :661-665
+    s11v = st.cell_to_vertex_kite(m, s11)
+    s22v = st.cell_to_vertex_kite(m, s22)
+    s12v = st.cell_to_vertex_kite(m, s12)
+    div_u = div_u - 2.0 * s12v * grid.tanLatVertexOverR
+    div_v = div_v + (s11v - s22v) * grid.tanLatVertexOverR
+
+    return div_u * solve_velocity, div_v * solve_velocity
+
+
+def air_stress(cfg: SeaiceConfig, grid: SeaiceGrid, forcing: SeaiceForcing,
+               ice_area_vertex):
+    """Quadratic wind drag, cell->vertex.
+    ref: air_stress (mpas_seaice_velocity_solver.F:1444)."""
+    m = grid.mesh
+    ua, va = forcing.uAirVelocity, forcing.vAirVelocity
+    speed = jnp.sqrt(ua * ua + va * va)
+    coef = cfg.rho_air * cfg.air_drag * speed
+    ca, sa = jnp.cos(cfg.air_turning_angle), jnp.sin(cfg.air_turning_angle)
+    tau_u = coef * (ua * ca - va * sa)
+    tau_v = coef * (va * ca + ua * sa)
+    return (st.cell_to_vertex_kite(m, tau_u) * ice_area_vertex,
+            st.cell_to_vertex_kite(m, tau_v) * ice_area_vertex)
+
+
+def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
+                     state: SeaiceState, forcing: SeaiceForcing,
+                     dt: float | jnp.ndarray):
+    """Full EVP solve for one dynamics step; returns updated velocities,
+    stresses, and diagnostic divergence/shear.
+    ref: seaice_run_velocity_solver (mpas_seaice_velocity_solver.F:495)."""
+    m = grid.mesh
+    n_sub = cfg.config_elastic_subcycle_number
+    dt_dyn = dt / cfg.config_dynamics_subcycle_number
+    dt_e = dt_dyn / n_sub
+    damping = _DAMPING_PARAM * dt_dyn
+
+    ice_area, ice_vol, _, total_mass = aggregate_state(cfg, state)
+    pressure = ice_strength(cfg, ice_area, ice_vol)
+
+    mass_v = st.cell_to_vertex_kite(m, total_mass)
+    area_v = st.cell_to_vertex_kite(m, ice_area)
+    solve_stress = (ice_area > cfg.puny).astype(ice_area.dtype)
+    solve_vel = ((mass_v > cfg.puny) & (area_v > 0.001)
+                 ).astype(mass_v.dtype) * grid.interiorVertex
+
+    tau_au, tau_av = (air_stress(cfg, grid, forcing, area_v)
+                      if cfg.config_use_air_stress
+                      else (jnp.zeros_like(mass_v), jnp.zeros_like(mass_v)))
+
+    uo = st.cell_to_vertex_kite(m, forcing.uOceanVelocity)
+    vo = st.cell_to_vertex_kite(m, forcing.vOceanVelocity)
+
+    f_v = m.fVertex if cfg.config_use_coriolis else jnp.zeros_like(mass_v)
+    mass_f = mass_v * f_v
+
+    # surface tilt force: -m g grad(ssh) (ref: surface_tilt_ssh_gradient
+    # :1946); the forcing carries grad(ssh) premultiplied by -g
+    tilt_u = mass_v * forcing.sshGradientU if cfg.config_use_surface_tilt \
+        else jnp.zeros_like(mass_v)
+    tilt_v = mass_v * forcing.sshGradientV if cfg.config_use_surface_tilt \
+        else jnp.zeros_like(mass_v)
+
+    co, so = (jnp.cos(cfg.ocean_turning_angle),
+              jnp.sin(cfg.ocean_turning_angle))
+    mass_safe = jnp.maximum(mass_v, cfg.puny)
+
+    def subcycle(carry, _):
+        u, v, s11, s22, s12 = carry
+
+        e11, e22, e12 = strain_tensor_weak(grid, u, v, solve_stress)
+        s11, s22, s12, _rp = evp_constitutive(
+            cfg, s11, s22, s12, e11, e22, e12, pressure, dt_e, damping)
+        div_u, div_v = stress_divergence_weak(grid, s11, s22, s12, solve_vel)
+
+        # semi-implicit water drag coefficient (ref: ocean_stress_coefficient
+        # :2499 — uses the *current* velocity)
+        if cfg.config_use_ocean_stress:
+            w_coef = (cfg.ocean_drag * cfg.rho_seawater * area_v
+                      * jnp.sqrt((uo - u) ** 2 + (vo - v) ** 2))
+        else:
+            w_coef = jnp.zeros_like(u)
+
+        # 2x2 per-vertex implicit solve (ref: solve_velocity :2593)
+        fsgn = jnp.sign(mass_f)
+        a11 = mass_safe / dt_e + w_coef * co
+        a12 = -mass_f - w_coef * so * fsgn
+        a21 = mass_f + w_coef * so * fsgn
+        a22 = mass_safe / dt_e + w_coef * co
+        rhs_u = (div_u + tau_au + tilt_u + w_coef * (uo * co - vo * so)
+                 + mass_safe * u / dt_e)
+        rhs_v = (div_v + tau_av + tilt_v + w_coef * (vo * co + uo * so)
+                 + mass_safe * v / dt_e)
+        det = a11 * a22 - a12 * a21
+        u_new = (a22 * rhs_u - a12 * rhs_v) / det
+        v_new = (a11 * rhs_v - a21 * rhs_u) / det
+        u = jnp.where(solve_vel > 0, u_new, 0.0)
+        v = jnp.where(solve_vel > 0, v_new, 0.0)
+        return (u, v, s11, s22, s12), None
+
+    carry0 = (state.uVelocity, state.vVelocity,
+              state.stress11, state.stress22, state.stress12)
+    (u, v, s11, s22, s12), _ = jax.lax.scan(
+        subcycle, carry0, None,
+        length=n_sub * cfg.config_dynamics_subcycle_number)
+
+    # final diagnostic divergence/shear of the velocity field
+    # (ref: final_divergence_shear :2893)
+    e11, e22, e12 = strain_tensor_weak(grid, u, v, solve_stress)
+    divergence = e11 + e22
+    shear = jnp.sqrt((e11 - e22) ** 2 + 4.0 * e12 * e12)
+
+    return state.replace(uVelocity=u, vVelocity=v,
+                         stress11=s11, stress22=s22, stress12=s12), \
+        {"divergence": divergence, "shear": shear,
+         "icePressure": pressure}

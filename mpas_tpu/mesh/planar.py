@@ -122,6 +122,21 @@ def channel_hex_mesh(nx: int, ny: int, dc: float, dtype=np.float64) -> Mesh:
                       x_period=Lx, y_period=0.0, dtype=dtype)
 
 
+def box_hex_mesh(nx: int, ny: int, dc: float, dtype=np.float64) -> Mesh:
+    """Hex mesh with solid walls on all four sides (outermost cell ring
+    culled) — the square closed domain of the sea-ice box experiment
+    (ref: testing_and_setup/seaice idealized configurations)."""
+    pts = hex_lattice_points(nx, ny, dc)
+    Lx, Ly = nx * dc, ny * dc * np.sqrt(3.0) / 2.0
+    cxyz, vxyz, voc = _planar_topology(pts, Lx, Ly)
+    idx = np.arange(nx * ny)
+    row, col = idx // nx, idx % nx
+    keep = (row > 0) & (row < ny - 1) & (col > 0) & (col < nx - 1)
+    cxyz, vxyz, voc = cull_cells(cxyz, vxyz, voc, keep)
+    return build_mesh(cxyz, vxyz, voc, on_sphere=False,
+                      x_period=0.0, y_period=0.0, dtype=dtype)
+
+
 def planar_hex_mesh(nx: int, ny: int, dc: float, dtype=np.float64) -> Mesh:
     """Uniform doubly periodic hexagonal mesh (nx*ny cells, spacing dc)."""
     pts = hex_lattice_points(nx, ny, dc)

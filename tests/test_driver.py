@@ -13,10 +13,15 @@ import pytest
 from mpas_tpu.io.netcdf import read_netcdf
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m", "mpas_tpu"] + args,
                           cwd=cwd, capture_output=True, text=True,
-                          timeout=500)
+                          timeout=500, env=env)
 
 
 @pytest.mark.slow

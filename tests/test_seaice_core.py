@@ -1,0 +1,185 @@
+"""Sea-ice core: exact weak-scheme operators + EVP box experiment.
+
+Parity model: the reference's velocity-solver unit tests
+(mpas_seaice_velocity_solver_unit_tests.F exercise strain/stress-divergence
+on analytic fields) + the testing_and_setup/seaice regression genres
+(stability, conservation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.mesh.planar import box_hex_mesh
+from mpas_tpu.cores.seaice.config import SeaiceConfig
+from mpas_tpu.cores.seaice.state import make_grid, zero_state, SeaiceForcing
+from mpas_tpu.cores.seaice import velocity as vel
+from mpas_tpu.cores.seaice.advection import advect_upwind
+from mpas_tpu.cores.seaice.column import itd_remap, ridge
+from mpas_tpu.cores.seaice.core import run_steps, total_ice_volume
+from mpas_tpu.cores.seaice.init_square import init_square
+
+
+@pytest.fixture(scope="module")
+def box():
+    mesh = box_hex_mesh(12, 12, 10000.0)
+    cfg = SeaiceConfig(config_dt=600.0,
+                       config_elastic_subcycle_number=60)
+    grid, state, forcing = init_square(mesh, cfg)
+    return mesh, cfg, grid, state, forcing
+
+
+class TestWeakOperators:
+    def test_strain_linear_velocity_exact(self, box):
+        """u = a + b x + c y  =>  constant strain (exact by Green's thm)."""
+        mesh, cfg, grid, state, forcing = box
+        xv = jnp.asarray(mesh.xVertex)
+        yv = jnp.asarray(mesh.yVertex)
+        u = 1.0 + 2.0e-6 * xv + 3.0e-6 * yv
+        v = -0.5 + 4.0e-6 * xv - 1.0e-6 * yv
+        ones = jnp.ones(mesh.nCells)
+        e11, e22, e12 = vel.strain_tensor_weak(grid, u, v, ones)
+        # skip boundary cells (their polygons touch the wall)
+        interior = np.asarray(
+            jnp.sum(grid.mesh.edgeSignOnCell != 0, axis=1) ==
+            jnp.asarray(grid.mesh.nEdgesOnCell))
+        bnd_cell = np.zeros(mesh.nCells, dtype=bool)
+        be = np.asarray(mesh.boundaryEdge) > 0
+        coe = np.asarray(mesh.cellsOnEdge)
+        bnd_cell[coe[be].ravel()] = True
+        sel = interior & ~bnd_cell
+        assert np.allclose(np.asarray(e11)[sel], 2.0e-6, atol=1e-12)
+        assert np.allclose(np.asarray(e22)[sel], -1.0e-6, atol=1e-12)
+        assert np.allclose(np.asarray(e12)[sel], 3.5e-6, atol=1e-12)
+
+    def test_stress_divergence_linear_stress_exact(self, box):
+        """sigma linear in (x,y) => divergence constant (exact)."""
+        mesh, cfg, grid, state, forcing = box
+        xc = jnp.asarray(mesh.xCell)
+        yc = jnp.asarray(mesh.yCell)
+        s11 = 2.0e-3 * xc + 1.0e-3 * yc
+        s22 = -1.0e-3 * xc + 3.0e-3 * yc
+        s12 = 0.5e-3 * xc - 0.5e-3 * yc
+        ones = jnp.ones(mesh.nVertices)
+        du, dv = vel.stress_divergence_weak(grid, s11, s22, s12, ones)
+        # expected: du = d(s11)/dx + d(s12)/dy ; dv = d(s12)/dx + d(s22)/dy
+        exp_u = 2.0e-3 - 0.5e-3
+        exp_v = 0.5e-3 + 3.0e-3
+        interior = np.asarray(grid.interiorVertex) > 0
+        # also exclude vertices whose stencil cells touch the boundary
+        be = np.asarray(mesh.boundaryEdge) > 0
+        coe = np.asarray(mesh.cellsOnEdge)
+        bnd_cell = np.zeros(mesh.nCells, dtype=bool)
+        bnd_cell[coe[be].ravel()] = True
+        cov = np.asarray(mesh.cellsOnVertex)
+        good = interior & ~np.any(bnd_cell[cov], axis=1)
+        assert np.allclose(np.asarray(du)[good], exp_u, rtol=1e-10)
+        assert np.allclose(np.asarray(dv)[good], exp_v, rtol=1e-10)
+
+    def test_evp_constitutive_zero_strain_decay(self, box):
+        """With zero strain (Delta=0) the update is pure relaxation:
+        s -> s / (1 + dt/(2T)) each substep (exactly, per the reference
+        update form, constitutive_relation.F:203-215)."""
+        mesh, cfg, grid, state, forcing = box
+        s11 = jnp.asarray([1.0e4])
+        z = jnp.zeros(1)
+        p = jnp.asarray([2.0e4])
+        s11o, s22o, s12o = s11, z, z
+        n = 50
+        for _ in range(n):
+            s11o, s22o, s12o, _ = vel.evp_constitutive(
+                cfg, s11o, s22o, s12o, z, z, z, p, 1.0, 100.0)
+        expect = 1.0e4 / (1.0 + 0.5 / 100.0) ** n
+        assert float(s11o[0] + s22o[0]) == pytest.approx(expect, rel=1e-10)
+        assert float(s12o[0]) == pytest.approx(0.0, abs=1e-12)
+
+    def test_evp_constitutive_uniaxial_compression_sign(self, box):
+        """Convergent strain must build compressive (negative) stress."""
+        mesh, cfg, grid, state, forcing = box
+        z = jnp.zeros(1)
+        e = jnp.asarray([-1.0e-6])     # convergence
+        p = jnp.asarray([2.0e4])
+        s11o, s22o, s12o = z, z, z
+        for _ in range(200):
+            s11o, s22o, s12o, _ = vel.evp_constitutive(
+                cfg, s11o, s22o, s12o, e, e, z, p, 1.0, 100.0)
+        assert float(s11o[0]) < 0.0
+        assert float(s22o[0]) < 0.0
+
+
+class TestBoxExperiment:
+    def test_evp_spins_up_bounded_drift(self, box):
+        mesh, cfg, grid, state, forcing = box
+        out = run_steps(grid, cfg, state, forcing, 6)   # 1 h
+        sp = jnp.sqrt(out.uVelocity ** 2 + out.vVelocity ** 2)
+        assert bool(jnp.all(jnp.isfinite(sp)))
+        # ice drifts (wind ~5-8 m/s => drift ~ a few % of wind)
+        assert 0.001 < float(jnp.max(sp)) < 2.0
+
+    def test_advection_conserves_volume_no_thermo(self, box):
+        mesh, cfg, grid, state, forcing = box
+        cfg2 = SeaiceConfig(config_dt=600.0,
+                            config_elastic_subcycle_number=60,
+                            config_use_column_physics=False)
+        v0 = float(total_ice_volume(grid, state))
+        out = run_steps(grid, cfg2, state, forcing, 6)
+        v1 = float(total_ice_volume(grid, out))
+        assert v1 == pytest.approx(v0, rel=1e-12)
+        assert bool(jnp.all(out.iceAreaCategory >= 0.0))
+
+    def test_itd_remap_conserves(self, box):
+        mesh, cfg, grid, state, forcing = box
+        # force thicknesses out of their bins
+        st2 = state.replace(iceVolumeCategory=state.iceVolumeCategory * 3.0)
+        out = itd_remap(cfg, st2)
+        assert float(jnp.sum(out.iceVolumeCategory)) == pytest.approx(
+            float(jnp.sum(st2.iceVolumeCategory)), rel=1e-13)
+        assert float(jnp.sum(out.iceAreaCategory)) == pytest.approx(
+            float(jnp.sum(st2.iceAreaCategory)), rel=1e-13)
+        # every nonzero category now sits inside its bounds
+        a = np.asarray(out.iceAreaCategory)
+        h = np.asarray(out.iceVolumeCategory) / np.where(a > 1e-11, a, 1.0)
+        bounds = np.asarray(cfg.config_itd_bounds)
+        for k in range(cfg.config_n_categories):
+            sel = a[:, k] > 1e-11
+            assert np.all(h[sel, k] >= bounds[k] - 1e-9)
+            assert np.all(h[sel, k] <= bounds[k + 1] + 1e-9)
+
+    def test_ridging_caps_area(self, box):
+        mesh, cfg, grid, state, forcing = box
+        st2 = state.replace(iceAreaCategory=state.iceAreaCategory * 1.5)
+        out = ridge(cfg, st2)
+        assert float(jnp.max(jnp.sum(out.iceAreaCategory, axis=-1))) \
+            <= 1.0 + 1e-12
+        assert np.allclose(np.asarray(out.iceVolumeCategory),
+                           np.asarray(st2.iceVolumeCategory))
+
+    def test_thermo_growth_in_cold_freezing_ocean(self, box):
+        """Cold air + ocean losing heat => ice grows."""
+        mesh, cfg, grid, state, forcing = box
+        frc = forcing.replace(
+            airTemperature=forcing.airTemperature * 0 - 30.0,
+            shortwaveDown=forcing.shortwaveDown * 0,
+            oceanHeatFlux=forcing.oceanHeatFlux * 0 - 50.0)
+        cfg2 = SeaiceConfig(config_dt=600.0,
+                            config_use_velocity_solver=False,
+                            config_advection_type="none")
+        v0 = float(total_ice_volume(grid, state))
+        out = run_steps(grid, cfg2, state, frc, 12)
+        v1 = float(total_ice_volume(grid, out))
+        assert v1 > v0
+
+    def test_thermo_melt_in_warm_summer(self, box):
+        mesh, cfg, grid, state, forcing = box
+        frc = forcing.replace(
+            airTemperature=forcing.airTemperature * 0 + 5.0,
+            shortwaveDown=forcing.shortwaveDown * 0 + 600.0,
+            longwaveDown=forcing.longwaveDown * 0 + 320.0,
+            oceanHeatFlux=forcing.oceanHeatFlux * 0 + 30.0)
+        cfg2 = SeaiceConfig(config_dt=600.0,
+                            config_use_velocity_solver=False,
+                            config_advection_type="none")
+        v0 = float(total_ice_volume(grid, state))
+        out = run_steps(grid, cfg2, state, frc, 12)
+        v1 = float(total_ice_volume(grid, out))
+        assert v1 < v0
