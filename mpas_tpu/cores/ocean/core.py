@@ -44,6 +44,8 @@ class OcnConfig:
     """ref: src/core_ocean/Registry.xml namelist (subset)."""
     config_dt: float = 300.0
     config_time_integrator: str = "split_explicit"   # or "RK4"
+    # equation of state: "linear" | "jm" (ref: config_eos_type)
+    config_eos_type: str = "linear"
     config_eos_linear_alpha: float = 0.2
     config_eos_linear_beta: float = 0.8
     config_eos_linear_Tref: float = 5.0
@@ -52,8 +54,22 @@ class OcnConfig:
     config_density0: float = 1026.0
     config_mom_del2: float = 10.0
     config_tracer_del2: float = 10.0
+    # vertical mixing (ref: config_vert_mix_scheme and the coefficient
+    # namelists of mpas_ocn_vmix_coefs_{const,rich,tanh}.F / cvmix)
+    config_vert_mix_scheme: str = "const"   # const|rich|tanh|cvmix
     config_vert_visc: float = 1.0e-4
     config_vert_diff: float = 1.0e-5
+    config_bkrd_vert_visc: float = 1.0e-4
+    config_bkrd_vert_diff: float = 1.0e-5
+    config_rich_mix: float = 5.0e-3
+    config_convective_visc: float = 1.0
+    config_convective_diff: float = 1.0
+    config_max_visc_tanh: float = 2.5e-1
+    config_min_visc_tanh: float = 1.0e-4
+    config_max_diff_tanh: float = 2.5e-2
+    config_min_diff_tanh: float = 1.0e-5
+    config_tanh_zmid: float = -100.0
+    config_tanh_zwidth: float = 100.0
     config_bottom_drag_coeff: float = 1.0e-3
     config_apvm_upwinding: float = 0.0   # ref: config_apvm_scale_factor = 0
     config_rayleigh_friction: float = 0.0
@@ -100,6 +116,15 @@ def equation_of_state_linear(cfg: OcnConfig, T, S):
     return (cfg.config_eos_linear_densityref
             - cfg.config_eos_linear_alpha * (T - cfg.config_eos_linear_Tref)
             + cfg.config_eos_linear_beta * (S - cfg.config_eos_linear_Sref))
+
+
+def equation_of_state(cfg: OcnConfig, T, S):
+    """EOS dispatcher: linear or Jackett-McDougall (surface-referenced).
+    ref: ocn_equation_of_state_density (mpas_ocn_equation_of_state.F)."""
+    if cfg.config_eos_type == "jm":
+        from mpas_tpu.cores.ocean.eos import density_jm
+        return density_jm(T, S, 0.0)
+    return equation_of_state_linear(cfg, T, S)
 
 
 def _ale_thickness_tend(grid: OcnGrid, div_hu):
@@ -150,8 +175,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
         gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
         pv_edge = pv_edge - cfg.config_apvm_upwinding * vt * dt * gradPVt
 
-    # hydrostatic pressure at layer mid from the linear EOS
-    rho = equation_of_state_linear(cfg, tr[..., 0], tr[..., 1])
+    # hydrostatic pressure at layer mid from the EOS
+    rho = equation_of_state(cfg, tr[..., 0], tr[..., 1])
     gh = gravity * rho * h
     inc = 0.5 * (gh[:, :-1] + gh[:, 1:])
     p = jnp.cumsum(jnp.concatenate([0.5 * gh[:, :1], inc], axis=1), axis=1)
@@ -243,10 +268,15 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
 
 def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     """Backward-Euler vertical mixing of u and tracers
-    (ref: ocn_vmix implicit solves, mpas_ocn_vmix.F)."""
+    (ref: ocn_vmix implicit solves, mpas_ocn_vmix.F), with the interface
+    coefficients built by the configured scheme (vmix.build_coefs)."""
+    from mpas_tpu.cores.ocean.vmix import build_coefs
     mesh = grid.mesh
     nz = grid.nz
     c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    rho = equation_of_state(cfg, state.tracers[..., 0], state.tracers[..., 1])
+    vert_visc, vert_diff = build_coefs(grid, cfg, state.u,
+                                       state.layerThickness, rho)
 
     def solve(field, h_field, kappa, bottom_drag=0.0):
         # interface diffusivity flux: kappa/dz_int between layers
@@ -265,11 +295,11 @@ def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
         return tridiagonal_solve(a, b, c, field)
 
     h_edge = 0.5 * (state.layerThickness[c1] + state.layerThickness[c2])
-    u_new = solve(state.u, h_edge, cfg.config_vert_visc,
+    u_new = solve(state.u, h_edge, vert_visc,
                   cfg.config_bottom_drag_coeff)
     tr_new = jnp.stack(
         [solve(state.tracers[..., i], state.layerThickness,
-               cfg.config_vert_diff) for i in range(state.tracers.shape[-1])],
+               vert_diff) for i in range(state.tracers.shape[-1])],
         axis=-1)
     return state.replace(u=u_new * (1.0 - mesh.boundaryEdge)[:, None],
                          tracers=tr_new)
