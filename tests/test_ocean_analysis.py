@@ -1,0 +1,146 @@
+"""Ocean analysis members: driver alarms + member correctness.
+
+Parity model: the analysis-member subsystem (mpas_ocn_analysis_driver.F
+:388-701) with per-member compute intervals; member values checked against
+hand-computed invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.mesh.planar import channel_hex_mesh
+from mpas_tpu.cores.ocean.core import OcnConfig, run_steps
+from mpas_tpu.cores.ocean.init_channel import init_baroclinic_channel
+from mpas_tpu.cores.ocean.analysis import AnalysisDriver, available_members
+
+
+@pytest.fixture(scope="module")
+def channel():
+    m = channel_hex_mesh(8, 16, 10000.0)
+    grid, state = init_baroclinic_channel(m, nz=10)
+    return (jax.tree.map(jnp.asarray, grid), jax.tree.map(jnp.asarray, state))
+
+
+def test_registry_lists_members():
+    names = available_members()
+    for expect in ["globalStats", "zonalMean", "mixedLayerDepths",
+                   "meridionalHeatTransport", "okuboWeiss"]:
+        assert expect in names
+
+
+def test_driver_alarm_intervals(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    drv = AnalysisDriver(members={"globalStats": 3600.0})
+    drv.init(grid, cfg)
+    for t in [0.0, 600.0, 3600.0, 4000.0, 7200.0]:
+        drv.compute_due(grid, cfg, state, t)
+    times = [t for t, _ in drv.history["globalStats"]]
+    assert times == [0.0, 3600.0, 7200.0]
+
+
+def test_global_stats_invariants(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    drv = AnalysisDriver(members={"globalStats": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, state)
+    _, out = drv.history["globalStats"][0]
+    vol_direct = float(jnp.sum(state.layerThickness
+                               * grid.mesh.areaCell[:, None]))
+    assert out["volumeCellGlobal"] == pytest.approx(vol_direct, rel=1e-12)
+    assert out["temperatureGlobalMin"] <= out["temperatureGlobalAvg"] \
+        <= out["temperatureGlobalMax"]
+    assert out["normalVelocityGlobalMax"] == 0.0   # initial state at rest
+
+
+def test_zonal_mean_uniform_field(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    st2 = state.replace(tracers=state.tracers.at[..., 0].set(7.5))
+    drv = AnalysisDriver(members={"zonalMean": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, st2)
+    _, out = drv.history["zonalMean"][0]
+    zm = out["zonalMeanTemperature"]
+    occupied = out["zonalMeanThickness"][:, 0] > 0.0
+    assert occupied.sum() >= 8
+    assert np.allclose(zm[occupied], 7.5)
+
+
+def test_mld_detects_pycnocline(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    # two-layer temperature: warm above 250m, cold below
+    h = state.layerThickness
+    z_mid = np.asarray(jnp.cumsum(h, axis=-1) - 0.5 * h)
+    t = np.where(z_mid < 250.0, 15.0, 5.0)
+    st2 = state.replace(tracers=state.tracers.at[..., 0].set(jnp.asarray(t)))
+    drv = AnalysisDriver(members={"mixedLayerDepths": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, st2)
+    _, out = drv.history["mixedLayerDepths"][0]
+    # MLD should sit near the 250 m interface (layers are ~100 m here)
+    assert np.all(out["tThreshMLD"] > 100.0)
+    assert np.all(out["tThreshMLD"] < 400.0)
+
+
+def test_mht_zero_at_rest_nonzero_with_flow(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    drv = AnalysisDriver(members={"meridionalHeatTransport": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, state)
+    _, out0 = drv.history["meridionalHeatTransport"][0]
+    assert np.allclose(out0["meridionalHeatTransportLat"], 0.0)
+    st2 = state.replace(u=state.u + 0.1)
+    drv.compute_all(grid, cfg, st2)
+    _, out1 = drv.history["meridionalHeatTransport"][1]
+    assert np.any(np.abs(out1["meridionalHeatTransportLat"]) > 0.0)
+
+
+def test_okubo_weiss_solid_body_rotation_negative(channel):
+    """Pure rotation (vorticity, no strain) => W < 0 in the core."""
+    grid, state = channel
+    cfg = OcnConfig()
+    m = grid.mesh
+    # solid-body rotation about domain center: u = Omega k x r
+    xc = 0.5 * (float(jnp.min(m.xCell)) + float(jnp.max(m.xCell)))
+    yc = 0.5 * (float(jnp.min(m.yCell)) + float(jnp.max(m.yCell)))
+    om = 1e-5
+    ue = (-om * (m.yEdge - yc) * jnp.cos(m.angleEdge)
+          + om * (m.xEdge - xc) * jnp.sin(m.angleEdge))
+    u = jnp.broadcast_to(ue[:, None], state.u.shape) \
+        * (1.0 - m.boundaryEdge)[:, None]
+    st2 = state.replace(u=u)
+    drv = AnalysisDriver(members={"okuboWeiss": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, st2)
+    _, out = drv.history["okuboWeiss"][0]
+    ow = out["okuboWeiss"]
+    # interior cells: dominated by rotation
+    # cells that resolve the true solid-body vorticity 2*Omega = 2e-5
+    # (the x-periodic seam and walls see a spurious aliased field)
+    vort = out["vorticity"][:, 0]
+    interior = (vort > 1.9e-5) & (vort < 2.1e-5)
+    assert interior.sum() > 10
+    assert np.all(ow[interior, 0] < 0)
+
+
+def test_members_during_run(channel):
+    grid, state = channel
+    cfg = OcnConfig(config_dt=30.0)
+    drv = AnalysisDriver(members={"globalStats": 600.0,
+                                  "layerVolumeWeightedAverage": 1200.0})
+    drv.init(grid, cfg)
+    t = 0.0
+    s = state
+    for _ in range(4):
+        drv.compute_due(grid, cfg, s, t)
+        s = run_steps(grid, cfg, s, 20)
+        t += 600.0
+    assert len(drv.history["globalStats"]) == 4
+    assert len(drv.history["layerVolumeWeightedAverage"]) == 2
+    vols = [h["volumeCellGlobal"] for _, h in drv.history["globalStats"]]
+    assert max(vols) - min(vols) < 1e-6 * vols[0]
