@@ -1,0 +1,157 @@
+"""Physics suite manager: alarms, driver ordering, dynamics coupling.
+
+ref: src/core_atmosphere/physics/mpas_atmphys_manager.F (alarms/intervals),
+mpas_atmphys_driver.F:106 (ordering: cloudiness -> radiation LW/SW ->
+surface layer -> LSM -> PBL -> GWDO -> convection, all BEFORE dynamics on
+time level 1; microphysics runs separately inside the RK3 loop) and
+mpas_atmphys_todynamics.F (tendency mapping physics winds(cell) ->
+normal-velocity tendencies(edge)).
+
+TPU redesign: the suite step is one jittable function over (nCells, nz)
+columns. Radiation tendencies are computed on the radiation alarm and held
+constant between calls (exactly the reference behavior). Cell winds come
+from the RBF reconstruct; wind tendencies return to edges by projecting
+the two adjacent cells' (du, dv) onto the edge normal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from mpas_tpu.constants import cp, rgas, rvord, p0
+from mpas_tpu.cores.atmosphere.physics import lsm as lsm_mod
+from mpas_tpu.cores.atmosphere.physics.convection import kf_convection
+from mpas_tpu.cores.atmosphere.physics.radiation import (cos_zenith,
+                                                         radiation_lw,
+                                                         radiation_sw)
+from mpas_tpu.cores.atmosphere.physics.sfclay import sfclay
+from mpas_tpu.cores.atmosphere.physics.ysu import ysu
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """ref: the config_*_scheme namelist options + suite defaults
+    (Registry.xml:378-392, 'suites')."""
+    config_physics_suite: str = "mesoscale_reference"
+    config_radt_interval_s: float = 1800.0   # radiation alarm
+    config_conv_interval_s: float = 0.0      # 0 = every step
+    config_microp_scheme: str = "wsm6"       # used by the dycore coupling
+    config_pbl_scheme: str = "ysu"
+    config_lsm_scheme: str = "slab"
+    config_gwdo_scheme: str = "off"
+    roughness_m: float = 0.1
+    albedo: float = 0.2
+    gwdo_var2d: float = 100.0
+
+
+@struct.dataclass
+class PhysicsState:
+    """Per-cell surface/physics state carried between steps
+    (ref: diag_physics + sfc_input pools)."""
+    tsk: Any          # (nCells,) skin temperature K
+    t_deep: Any       # (nCells,) deep reservoir temperature
+    rainc: Any        # (nCells,) accumulated convective precip (m)
+    hpbl: Any         # (nCells,)
+    glw: Any          # (nCells,) last LW down at surface
+    gsw: Any          # (nCells,) last SW absorbed at surface
+    rad_tend: Any     # (nCells, nz) cached radiative dT/dt (K/s)
+    time_since_rad: Any   # scalar seconds since last radiation call
+
+
+def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64):
+    z = jnp.zeros((n_cells,), dtype=dtype)
+    return PhysicsState(
+        tsk=z + tsk0, t_deep=z + tsk0, rainc=z, hpbl=z + 100.0,
+        glw=z, gsw=z, rad_tend=jnp.zeros((n_cells, nz), dtype=dtype),
+        time_since_rad=jnp.asarray(1.0e30, dtype=dtype))
+
+
+def _edge_wind_tendency(mesh, du_cell, dv_cell):
+    """Map cell (du, dv) to edge normal-velocity increments.
+    ref: mpas_atmphys_todynamics.F (tend_u from u/v tendencies)."""
+    coe = mesh.cellsOnEdge
+    du_e = 0.5 * (du_cell[coe[:, 0]] + du_cell[coe[:, 1]])
+    dv_e = 0.5 * (dv_cell[coe[:, 0]] + dv_cell[coe[:, 1]])
+    ne = jnp.cos(mesh.angleEdge)[:, None]
+    nn = jnp.sin(mesh.angleEdge)[:, None]
+    return du_e * ne + dv_e * nn
+
+
+def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
+                 state, diag, phys: PhysicsState, dt,
+                 gmt_hours=12.0, julian_day=172.0):
+    """Run the suite once before dynamics; returns (new dycore state fields
+    theta_m/scalars/u, new PhysicsState).
+
+    Ordering ref: physics_driver (mpas_atmphys_driver.F:208-330)."""
+    from mpas_tpu.ops.reconstruct import reconstruct
+
+    m = mesh
+    qv = jnp.maximum(state.scalars[..., 0], 0.0)
+    qc = jnp.maximum(state.scalars[..., 1], 0.0) \
+        if state.scalars.shape[-1] > 1 else jnp.zeros_like(qv)
+    th = state.theta_m / (1.0 + rvord * qv)
+    exner = diag.exner
+    t = th * exner
+    rho = grid.zz * state.rho_zz
+    p = p0 * exner ** (cp / rgas)
+    dz = grid.zgrid[:, 1:] - grid.zgrid[:, :-1]
+    z_mid = 0.5 * (grid.zgrid[:, 1:] + grid.zgrid[:, :-1]) \
+        - grid.zgrid[:, :1]
+
+    # cell-centered winds (ref: uReconstruct{Zonal,Meridional})
+    _vx, _vy, _vz, u_c, v_c = reconstruct(m, recon_coeffs, state.u)
+
+    # --- radiation on its alarm (held constant in between) ---
+    lat = m.latCell if m.on_sphere else jnp.zeros_like(m.xCell)
+    lon = m.lonCell if m.on_sphere else jnp.zeros_like(m.xCell)
+    mu = cos_zenith(lat, lon, gmt_hours, julian_day)
+    due = phys.time_since_rad >= cfg.config_radt_interval_s
+
+    lw_tend, glw, _olr = radiation_lw(t, qv, qc, rho, dz, phys.tsk)
+    sw_tend, gsw = radiation_sw(qv, qc, rho, dz, mu, cfg.albedo)
+    rad_tend = jnp.where(due, lw_tend + sw_tend, phys.rad_tend)
+    glw = jnp.where(due, glw, phys.glw)
+    gsw = jnp.where(due, gsw, phys.gsw)
+    t_rad = t + dt * rad_tend
+
+    # --- surface layer (ref: driver_sfclayer) ---
+    qsfc = lsm_mod.surface_moisture(phys.tsk, p[:, 0])
+    sfc = sfclay(u_c[:, 0], v_c[:, 0], t_rad[:, 0] / exner[:, 0], qv[:, 0],
+                 p[:, 0], rho[:, 0], z_mid[:, 0], phys.tsk, qsfc,
+                 cfg.roughness_m)
+
+    # --- LSM: advance skin temperature (ref: driver_lsm) ---
+    tsk_new, _g = lsm_mod.slab_lsm(phys.tsk, phys.t_deep, gsw, glw,
+                                   sfc["hfx"], sfc["lh"], dt)
+
+    # --- PBL (ref: driver_pbl) ---
+    th_in = t_rad / exner
+    u_pbl, v_pbl, th_pbl, qv_pbl, hpbl = ysu(
+        u_c, v_c, th_in, qv, rho, z_mid, dz, sfc, dt)
+
+    # --- GWDO (optional) ---
+    if cfg.config_gwdo_scheme == "on":
+        n_bv = 0.01
+        u_pbl, v_pbl = lsm_mod.gwdo(u_pbl, v_pbl, rho, dz, n_bv,
+                                    cfg.gwdo_var2d, dt)
+
+    # --- convection (ref: driver_convection) ---
+    th_cu, qv_cu, rain_c, _cape = kf_convection(
+        th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
+
+    # --- couple back to dycore variables ---
+    theta_m_new = th_cu * (1.0 + rvord * qv_cu)
+    scalars_new = state.scalars.at[..., 0].set(qv_cu)
+    du_e = _edge_wind_tendency(m, u_pbl - u_c, v_pbl - v_c)
+    u_new = (state.u + du_e) * (1.0 - m.boundaryEdge)[:, None]
+
+    phys_new = phys.replace(
+        tsk=tsk_new, rainc=phys.rainc + rain_c, hpbl=hpbl,
+        glw=glw, gsw=gsw, rad_tend=rad_tend,
+        time_since_rad=jnp.where(due, dt, phys.time_since_rad + dt))
+    return theta_m_new, scalars_new, u_new, phys_new
