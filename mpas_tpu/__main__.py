@@ -19,7 +19,7 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mpas_tpu")
-    ap.add_argument("core", choices=["sw", "atmosphere", "ocean"])
+    ap.add_argument("core", choices=["sw", "atmosphere", "ocean", "test"])
     ap.add_argument("-n", "--namelist", default=None,
                     help="Fortran-namelist-format config file")
     ap.add_argument("-s", "--streams", default=None,
@@ -39,6 +39,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+
+    if args.core == "test":
+        # framework self-test core (ref: core_test, mpas_test_core.F:86-171)
+        from mpas_tpu.cores.test_core.core import run_all
+        results = run_all()
+        return 0 if all(ok for ok, _ in results.values()) else 1
 
     from mpas_tpu.framework.driver import Driver
     from mpas_tpu.framework.namelist import from_namelist_file
