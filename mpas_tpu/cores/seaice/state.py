@@ -34,6 +34,8 @@ class SeaiceGrid:
     tanLatVertexOverR: Any # (nVertices,)
     # interior-vertex mask (0 at domain-boundary vertices: no-slip walls)
     interiorVertex: Any    # (nVertices,)
+    # Wachspress basis tensors for the variational scheme (None = weak-only)
+    variational: Any = None
 
 
 @struct.dataclass
@@ -71,7 +73,7 @@ class SeaiceForcing:
     sshGradientV: Any         # (nVertices,)
 
 
-def make_grid(mesh: Mesh) -> SeaiceGrid:
+def make_grid(mesh: Mesh, variational: bool = False) -> SeaiceGrid:
     """Precompute the weak-scheme geometry (host-side, once).
 
     ref: seaice_init_velocity_solver_weak
@@ -112,12 +114,18 @@ def make_grid(mesh: Mesh) -> SeaiceGrid:
     interior = ~np.any(bnd_e[eov] | (np.asarray(m.edgeSignOnVertex) == 0),
                        axis=1)
 
+    var_coeffs = None
+    if variational:
+        from mpas_tpu.cores.seaice.variational import (
+            build_variational_coeffs)
+        var_coeffs = build_variational_coeffs(mesh)
     return SeaiceGrid(
         mesh=mesh,
         normalPolygonE=jnp.asarray(polyE), normalPolygonN=jnp.asarray(polyN),
         normalTriangleE=jnp.asarray(triE), normalTriangleN=jnp.asarray(triN),
         tanLatCellOverR=jnp.asarray(tlc), tanLatVertexOverR=jnp.asarray(tlv),
         interiorVertex=jnp.asarray(interior.astype(ne.dtype)),
+        variational=var_coeffs,
     )
 
 

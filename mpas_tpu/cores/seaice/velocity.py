@@ -185,13 +185,35 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
               jnp.sin(cfg.ocean_turning_angle))
     mass_safe = jnp.maximum(mass_v, cfg.puny)
 
+    use_var = cfg.config_stress_divergence_scheme == "variational"
+    if use_var and grid.variational is None:
+        raise ValueError("variational scheme requires "
+                         "make_grid(mesh, variational=True)")
+
     def subcycle(carry, _):
         u, v, s11, s22, s12 = carry
 
-        e11, e22, e12 = strain_tensor_weak(grid, u, v, solve_stress)
-        s11, s22, s12, _rp = evp_constitutive(
-            cfg, s11, s22, s12, e11, e22, e12, pressure, dt_e, damping)
-        div_u, div_v = stress_divergence_weak(grid, s11, s22, s12, solve_vel)
+        if use_var:
+            # strains/stresses live at cell corners (ref:
+            # seaice_internal_stress_variational)
+            from mpas_tpu.cores.seaice.variational import (
+                strain_tensor_variational, stress_divergence_variational)
+            e11, e22, e12 = strain_tensor_variational(
+                m, grid.variational, u, v)
+            msk = solve_stress[:, None]
+            s11, s22, s12, _rp = evp_constitutive(
+                cfg, s11, s22, s12, e11 * msk, e22 * msk, e12 * msk,
+                pressure[:, None], dt_e, damping)
+            div_u, div_v = stress_divergence_variational(
+                m, grid.variational, s11, s22, s12)
+            div_u = div_u * solve_vel
+            div_v = div_v * solve_vel
+        else:
+            e11, e22, e12 = strain_tensor_weak(grid, u, v, solve_stress)
+            s11, s22, s12, _rp = evp_constitutive(
+                cfg, s11, s22, s12, e11, e22, e12, pressure, dt_e, damping)
+            div_u, div_v = stress_divergence_weak(grid, s11, s22, s12,
+                                                  solve_vel)
 
         # semi-implicit water drag coefficient (ref: ocean_stress_coefficient
         # :2499 — uses the *current* velocity)
@@ -218,8 +240,14 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
         v = jnp.where(solve_vel > 0, v_new, 0.0)
         return (u, v, s11, s22, s12), None
 
-    carry0 = (state.uVelocity, state.vVelocity,
-              state.stress11, state.stress22, state.stress12)
+    if use_var:
+        # corner stresses restart each dynamics solve (ref:
+        # init_subcycle_variables zeroes stress11var etc. :2149)
+        zc = jnp.zeros((m.nCells, m.maxEdges), dtype=pressure.dtype)
+        carry0 = (state.uVelocity, state.vVelocity, zc, zc, zc)
+    else:
+        carry0 = (state.uVelocity, state.vVelocity,
+                  state.stress11, state.stress22, state.stress12)
     (u, v, s11, s22, s12), _ = jax.lax.scan(
         subcycle, carry0, None,
         length=n_sub * cfg.config_dynamics_subcycle_number)
@@ -230,7 +258,16 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
     divergence = e11 + e22
     shear = jnp.sqrt((e11 - e22) ** 2 + 4.0 * e12 * e12)
 
+    if use_var:
+        # persisted cell-mean stresses for diagnostics/IO
+        nrm = 1.0 / jnp.maximum(jnp.sum(m.edgeSignOnCell != 0, axis=1), 1)
+        s11c = jnp.sum(s11, axis=1) * nrm
+        s22c = jnp.sum(s22, axis=1) * nrm
+        s12c = jnp.sum(s12, axis=1) * nrm
+    else:
+        s11c, s22c, s12c = s11, s22, s12
+
     return state.replace(uVelocity=u, vVelocity=v,
-                         stress11=s11, stress22=s22, stress12=s12), \
+                         stress11=s11c, stress22=s22c, stress12=s12c), \
         {"divergence": divergence, "shear": shear,
          "icePressure": pressure}

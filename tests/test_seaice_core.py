@@ -183,3 +183,65 @@ class TestBoxExperiment:
         out = run_steps(grid, cfg2, state, frc, 12)
         v1 = float(total_ice_volume(grid, out))
         assert v1 < v0
+
+
+class TestVariational:
+    @pytest.fixture(scope="class")
+    def vgrid(self):
+        mesh = box_hex_mesh(10, 10, 10000.0)
+        from mpas_tpu.cores.seaice.state import make_grid
+        return mesh, make_grid(mesh, variational=True)
+
+    def test_strain_exact_for_linear_velocity(self, vgrid):
+        """Wachspress basis reproduces linear fields exactly, so corner
+        strains of a linear velocity are exact (ref: the variational
+        unit tests, mpas_seaice_velocity_solver_unit_tests.F)."""
+        from mpas_tpu.cores.seaice.variational import (
+            strain_tensor_variational)
+        mesh, grid = vgrid
+        xv = jnp.asarray(mesh.xVertex)
+        yv = jnp.asarray(mesh.yVertex)
+        u = 2.0e-6 * xv + 3.0e-6 * yv
+        v = 4.0e-6 * xv - 1.0e-6 * yv
+        e11, e22, e12 = strain_tensor_variational(mesh, grid.variational,
+                                                  u, v)
+        ne = np.asarray(mesh.nEdgesOnCell)
+        for c in range(mesh.nCells):
+            n = int(ne[c])
+            assert np.allclose(np.asarray(e11[c, :n]), 2.0e-6, rtol=1e-4)
+            assert np.allclose(np.asarray(e22[c, :n]), -1.0e-6, rtol=1e-4)
+            assert np.allclose(np.asarray(e12[c, :n]), 3.5e-6, rtol=1e-4)
+
+    def test_divergence_zero_for_constant_stress(self, vgrid):
+        """Constant stress => zero variational divergence at interior
+        vertices (edge contributions cancel between neighbor cells)."""
+        from mpas_tpu.cores.seaice.variational import (
+            stress_divergence_variational)
+        from mpas_tpu.cores.seaice.state import make_grid
+        mesh, grid = vgrid
+        s = jnp.ones((mesh.nCells, mesh.maxEdges)) * 1.0e3
+        fu, fv = stress_divergence_variational(mesh, grid.variational,
+                                               s, s, 0.0 * s)
+        interior = np.asarray(grid.interiorVertex) > 0
+        # exclude vertices adjacent to boundary cells (their polygons are
+        # clipped)
+        be = np.asarray(mesh.boundaryEdge) > 0
+        coe = np.asarray(mesh.cellsOnEdge)
+        bnd_cell = np.zeros(mesh.nCells, dtype=bool)
+        bnd_cell[coe[be].ravel()] = True
+        cov = np.asarray(mesh.cellsOnVertex)
+        good = interior & ~np.any(bnd_cell[cov], axis=1)
+        assert good.sum() > 5
+        assert np.max(np.abs(np.asarray(fu)[good])) < 1e-6
+        assert np.max(np.abs(np.asarray(fv)[good])) < 1e-6
+
+    def test_box_runs_with_variational_scheme(self, vgrid):
+        mesh, grid = vgrid
+        cfg = SeaiceConfig(config_dt=600.0,
+                           config_elastic_subcycle_number=60,
+                           config_stress_divergence_scheme="variational")
+        _, state, forcing = init_square(mesh, cfg)
+        out = run_steps(grid, cfg, state, forcing, 4)
+        sp = jnp.sqrt(out.uVelocity ** 2 + out.vVelocity ** 2)
+        assert bool(jnp.all(jnp.isfinite(sp)))
+        assert 0.001 < float(jnp.max(sp)) < 2.0
