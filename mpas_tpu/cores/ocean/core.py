@@ -70,6 +70,13 @@ class OcnConfig:
     config_min_diff_tanh: float = 1.0e-5
     config_tanh_zmid: float = -100.0
     config_tanh_zwidth: float = 100.0
+    # GM / Redi mesoscale eddy parameterization (ref: mpas_ocn_gm.F +
+    # tracer_hmix_Redi namelists)
+    config_use_gm: bool = False
+    config_gm_constant_kappa: float = 900.0     # m2/s
+    config_use_redi: bool = False
+    config_redi_kappa: float = 400.0            # m2/s
+    config_max_relative_slope: float = 0.01
     config_bottom_drag_coeff: float = 1.0e-3
     config_apvm_upwinding: float = 0.0   # ref: config_apvm_scale_factor = 0
     config_rayleigh_friction: float = 0.0
@@ -259,7 +266,14 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     u, h, tr = state.u, state.layerThickness, state.tracers
     c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
     h_edge = 0.5 * (h[c1] + h[c2])
-    uh = u * h_edge
+    # GM: transport velocity = resolved + bolus (ref: ocn_gm — tracer and
+    # thickness advection use normalVelocity + normalGMBolusVelocity)
+    u_trans = u
+    if cfg.config_use_gm:
+        from mpas_tpu.cores.ocean.gm import bolus_velocity
+        rho = equation_of_state(cfg, tr[..., 0], tr[..., 1])
+        u_trans = u + bolus_velocity(grid, cfg, rho, h)
+    uh = u_trans * h_edge
     _, tend_h, w_top = thickness_tendency(grid, uh)
     tend_u = vel_tendency(grid, cfg, u, h, tr, w_top, dt, planetary=True)
     tend_hT = tracer_tendency(grid, cfg, uh, w_top, h, tr)
@@ -277,6 +291,12 @@ def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     rho = equation_of_state(cfg, state.tracers[..., 0], state.tracers[..., 1])
     vert_visc, vert_diff = build_coefs(grid, cfg, state.u,
                                        state.layerThickness, rho)
+    if cfg.config_use_redi:
+        # Redi (3,3) term: kappa_Redi * S^2 enhances the vertical tracer
+        # diffusivity (ref: mpas_ocn_tracer_hmix_Redi.F small-slope tensor)
+        from mpas_tpu.cores.ocean.gm import redi_vertical_enhancement
+        vert_diff = vert_diff + redi_vertical_enhancement(
+            grid, cfg, rho, state.layerThickness)
 
     def solve(field, h_field, kappa, bottom_drag=0.0):
         # interface diffusivity flux: kappa/dz_int between layers
@@ -451,6 +471,13 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
         u_transport = (u_full + corr[:, None]) * not_bnd[:, None]
 
         # --- stage 3: thickness / tracer update ----------------------------
+        if cfg.config_use_gm:
+            # GM bolus transport added to the advective velocity (ref:
+            # ocn_gm; same treatment as the RK4 path)
+            from mpas_tpu.cores.ocean.gm import bolus_velocity
+            rho_gm = equation_of_state(cfg, tr_new[..., 0], tr_new[..., 1])
+            u_transport = u_transport + bolus_velocity(grid, cfg, rho_gm,
+                                                       h_st)
         uh = u_transport * h_edge
         _, tend_h, w_top = thickness_tendency(grid, uh)
         tend_hT = tracer_tendency(grid, cfg, uh, w_top, h_st, tr_new)
