@@ -503,10 +503,26 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
     return mixed.replace(ubtr=ubtr_avg)
 
 
+def apply_surface_forcing(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
+                          forcing, dt) -> OcnState:
+    """Forward-Euler application of the surface forcing terms before the
+    dynamics step (ref: the forcing tendencies are part of ocn_tend_vel /
+    ocn_tend_tracer; applied operator-split here)."""
+    from mpas_tpu.cores.ocean.forcing import (surface_stress_tend,
+                                              surface_tracer_tend)
+    h = state.layerThickness
+    du = surface_stress_tend(grid, cfg, forcing, h)
+    dhT = surface_tracer_tend(grid, cfg, forcing, h, state.tracers)
+    tr = state.tracers + dt * dhT / jnp.maximum(h, 1e-3)[..., None]
+    return state.replace(u=state.u + dt * du, tracers=tr)
+
+
 def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
-                 dt) -> OcnState:
+                 dt, forcing=None) -> OcnState:
     """Integrator dispatch (ref: ocn_timestep,
     mpas_ocn_time_integration.F:80)."""
+    if forcing is not None:
+        state = apply_surface_forcing(grid, cfg, state, forcing, dt)
     if cfg.config_time_integrator == "split_explicit":
         return split_step(grid, cfg, state, dt)
     if cfg.config_time_integrator == "RK4":
@@ -518,11 +534,11 @@ def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
 
 @functools.partial(jax.jit, static_argnums=(1, 3))
 def run_steps(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
-              n_steps: int) -> OcnState:
+              n_steps: int, forcing=None) -> OcnState:
     dt = jnp.asarray(cfg.config_dt, dtype=state.layerThickness.dtype)
 
     def body(s, _):
-        return ocn_timestep(grid, cfg, s, dt), None
+        return ocn_timestep(grid, cfg, s, dt, forcing), None
 
     final, _ = jax.lax.scan(body, state, None, length=n_steps)
     return final
