@@ -24,6 +24,7 @@ from mpas_tpu.cores.ocean.analysis.layer_volume_weighted_average import (
 from mpas_tpu.cores.ocean.analysis.meridional_heat_transport import (
     MeridionalHeatTransport)
 from mpas_tpu.cores.ocean.analysis.mixed_layer_depths import MixedLayerDepths
+from mpas_tpu.cores.ocean.analysis.moc import MocStreamfunction
 from mpas_tpu.cores.ocean.analysis.okubo_weiss import OkuboWeiss
 from mpas_tpu.cores.ocean.analysis.zonal_mean import ZonalMean
 
@@ -34,6 +35,7 @@ _REGISTRY = {
     "meridionalHeatTransport": MeridionalHeatTransport,
     "okuboWeiss": OkuboWeiss,
     "layerVolumeWeightedAverage": LayerVolumeWeightedAverage,
+    "mocStreamfunction": MocStreamfunction,
 }
 
 

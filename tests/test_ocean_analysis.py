@@ -144,3 +144,25 @@ def test_members_during_run(channel):
     assert len(drv.history["layerVolumeWeightedAverage"]) == 2
     vols = [h["volumeCellGlobal"] for _, h in drv.history["globalStats"]]
     assert max(vols) - min(vols) < 1e-6 * vols[0]
+
+
+def test_moc_streamfunction_zero_at_rest_and_closed(channel):
+    grid, state = channel
+    cfg = OcnConfig()
+    drv = AnalysisDriver(members={"mocStreamfunction": 1.0})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, state)
+    _, out0 = drv.history["mocStreamfunction"][0]
+    assert np.allclose(out0["mocStreamvalLatAndDepth"], 0.0)
+    # uniform northward flow: psi nonzero at depth, ~0 at the surface only
+    # if transport is barotropic the column integral is the max
+    m = grid.mesh
+    un = jnp.sin(m.angleEdge) * (1.0 - m.boundaryEdge)  # northward
+    st2 = state.replace(u=jnp.broadcast_to(un[:, None], state.u.shape))
+    drv.compute_all(grid, cfg, st2)
+    _, out1 = drv.history["mocStreamfunction"][1]
+    psi = out1["mocStreamvalLatAndDepth"]
+    assert np.abs(psi).max() > 0.0
+    # streamfunction magnitude decreases from bottom accumulation:
+    # psi at the top row equals minus the full column transport
+    assert np.abs(psi[:, 0]).max() >= np.abs(psi[:, -1]).max()
