@@ -48,6 +48,10 @@ class AtmConfig:
     # physics suite (ref: Registry.xml config_microp_scheme; "off" runs the
     # dry/moist dynamics without microphysics)
     config_microp_scheme: str = "off"
+    # column-physics suite run before dynamics each step (ref:
+    # config_physics_suite + the scheme drivers, mpas_atmphys_driver.F);
+    # "none" | "mesoscale_reference"
+    config_physics_suite: str = "none"
     # idealized init case (ref: core_init_atmosphere Registry.xml
     # config_init_case; 1-3 = JW baroclinic wave, 4 = squall line,
     # 5 = supercell)

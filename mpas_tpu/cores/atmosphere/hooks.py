@@ -25,6 +25,7 @@ class _AtmRun:
     cfg: AtmConfig
     carry: AtmCarry
     recon: object
+    phys: object = None        # PhysicsState when the suite is active
 
 
 def _setup(cfg: AtmConfig, mesh_spec: str):
@@ -33,20 +34,58 @@ def _setup(cfg: AtmConfig, mesh_spec: str):
         from mpas_tpu.cores.atmosphere.init_supercell import init_supercell
         grid, state, diag = init_supercell(mesh0, cfg,
                                            case=cfg.config_init_case)
+    elif cfg.config_init_case == 6:
+        from mpas_tpu.cores.atmosphere.init_mtn_wave import init_mtn_wave
+        grid, state, diag = init_mtn_wave(mesh0, cfg)
     else:
         grid, state, diag = init_jw(mesh0, cfg, case=cfg.config_init_case)
     recon = jnp.asarray(build_reconstruct_coeffs(grid.mesh))
     gj = jax.tree.map(jnp.asarray, grid)
     carry = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
                        jax.tree.map(jnp.asarray, diag), cfg.config_dt)
-    return _AtmRun(grid=gj, cfg=cfg, carry=carry, recon=recon)
+    phys = None
+    if cfg.config_physics_suite != "none":
+        from mpas_tpu.cores.atmosphere.physics.manager import (
+            init_physics_state)
+        phys = init_physics_state(gj.mesh.nCells, cfg.config_nvertlevels,
+                                  dtype=carry.state.theta_m.dtype)
+    return _AtmRun(grid=gj, cfg=cfg, carry=carry, recon=recon, phys=phys)
 
 
 def _step_chunk(run: _AtmRun, n: int):
-    run.carry = run_steps(run.grid, run.cfg, run.carry,
-                          jnp.asarray(run.cfg.config_dt,
-                                      dtype=run.carry.state.theta_m.dtype), n)
+    dt = jnp.asarray(run.cfg.config_dt,
+                     dtype=run.carry.state.theta_m.dtype)
+    if run.phys is None:
+        run.carry = run_steps(run.grid, run.cfg, run.carry, dt, n)
+        return run
+    # physics suite runs before dynamics every step
+    # (ref: atm_do_timestep, mpas_atm_core.F:830-873)
+    run.carry, run.phys = run_steps_with_physics(
+        run.grid, run.cfg, run.carry, run.phys, run.recon, dt, n)
     return run
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 6))
+def run_steps_with_physics(grid, cfg, carry, phys, recon, dt, n):
+    from mpas_tpu.cores.atmosphere.physics.manager import (PhysicsConfig,
+                                                           physics_step)
+    from mpas_tpu.cores.atmosphere.time_integration import srk3_step
+    pcfg = PhysicsConfig()
+
+    def body(c, _):
+        carry, phys = c
+        th, sc, u, phys = physics_step(grid, pcfg, grid.mesh, recon,
+                                       carry.state, carry.diag, phys, dt)
+        carry = carry.replace(state=carry.state.replace(
+            theta_m=th, scalars=sc, u=u))
+        carry = srk3_step(grid, cfg, carry, dt)
+        return (carry, phys), None
+
+    (carry, phys), _ = jax.lax.scan(body, (carry, phys), None, length=n)
+    return carry, phys
 
 
 def _fields(run: _AtmRun, restart: bool):

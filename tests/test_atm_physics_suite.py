@@ -231,3 +231,23 @@ class TestManagerCoupled:
         rel = float(jnp.max(jnp.abs(th1 - st.theta_m))
                     / jnp.max(st.theta_m))
         assert rel < 0.2
+
+
+class TestSuiteInRunLoop:
+    def test_coupled_suite_run_via_hooks(self):
+        """Physics-before-dynamics each step through the run-driver hooks
+        (ref: atm_do_timestep ordering, mpas_atm_core.F:830-873)."""
+        from mpas_tpu.cores.atmosphere.config import AtmConfig
+        from mpas_tpu.cores.atmosphere import hooks as H
+        cfg = AtmConfig(config_dt=12.0, config_nvertlevels=16,
+                        config_len_disp=2000.0, config_xnutr=0.0,
+                        config_init_case=5,
+                        config_microp_scheme="mp_kessler",
+                        config_physics_suite="mesoscale_reference")
+        run = H._setup(cfg, "hex:12,12,2000")
+        run = H._step_chunk(run, 10)
+        assert bool(jnp.all(jnp.isfinite(run.carry.state.theta_m)))
+        assert bool(jnp.all(jnp.isfinite(run.carry.state.u)))
+        assert bool(jnp.all(jnp.isfinite(run.phys.tsk)))
+        # surface state evolves (fluxes active)
+        assert float(jnp.std(run.phys.tsk)) > 0.0
