@@ -166,3 +166,35 @@ def test_moc_streamfunction_zero_at_rest_and_closed(channel):
     # streamfunction magnitude decreases from bottom accumulation:
     # psi at the top row equals minus the full column transport
     assert np.abs(psi[:, 0]).max() >= np.abs(psi[:, -1]).max()
+
+
+def test_time_series_stats_windows_and_climatology(channel):
+    from mpas_tpu.cores.ocean.analysis.time_series_stats import (
+        TimeSeriesStats)
+    grid, state = channel
+    cfg = OcnConfig()
+    ts = TimeSeriesStats(window_seconds=3600.0, n_buckets=2,
+                         fields=("ssh", "temperatureSurface"))
+    ts.init(grid, cfg)
+    # 4 windows of 4 samples each; temperature ramps by window
+    t = 0.0
+    for w in range(4):
+        st = state.replace(
+            tracers=state.tracers.at[..., 0].add(float(w)))
+        for _ in range(4):
+            t += 900.0
+            ts.accumulate(grid, cfg, st, t)
+    assert len(ts.records) == 4
+    # window averages reflect the ramp
+    _, b0, r0 = ts.records[0]
+    _, b1, r1 = ts.records[1]
+    assert np.allclose(r1["temperatureSurface_avg"]
+                       - r0["temperatureSurface_avg"], 1.0)
+    # climatology buckets: bucket 0 = mean of windows 0,2; bucket 1 = 1,3
+    c0 = ts.climatology(0)
+    c1 = ts.climatology(1)
+    assert np.allclose(c1["temperatureSurface_avg"]
+                       - c0["temperatureSurface_avg"], 1.0)
+    # min/max bracket the average
+    assert np.all(r0["ssh_min"] <= r0["ssh_avg"] + 1e-12)
+    assert np.all(r0["ssh_max"] >= r0["ssh_avg"] - 1e-12)
