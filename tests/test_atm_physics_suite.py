@@ -251,3 +251,40 @@ class TestSuiteInRunLoop:
         assert bool(jnp.all(jnp.isfinite(run.phys.tsk)))
         # surface state evolves (fluxes active)
         assert float(jnp.std(run.phys.tsk)) > 0.0
+
+
+class TestOmlAndCloudiness:
+    def test_oml_cools_under_heat_loss_and_deepens(self):
+        from mpas_tpu.cores.atmosphere.physics.oml import oml_step
+        n = 4
+        tml = jnp.full(n, 290.0)
+        h = jnp.full(n, 30.0)
+        # strong heat loss, windy
+        t1, h1 = oml_step(tml, h, hfx=jnp.full(n, 200.0),
+                          lh=jnp.full(n, 100.0), gsw=jnp.zeros(n),
+                          glw=jnp.full(n, 300.0), ust=jnp.full(n, 0.5),
+                          dt=3600.0)
+        assert np.all(np.asarray(t1) < 290.0)
+        assert np.all(np.asarray(h1) >= 30.0)
+        # strong sun, calm: warms
+        t2, h2 = oml_step(tml, h, hfx=jnp.zeros(n), lh=jnp.zeros(n),
+                          gsw=jnp.full(n, 800.0), glw=jnp.full(n, 400.0),
+                          ust=jnp.full(n, 0.01), dt=3600.0)
+        assert np.all(np.asarray(t2) > 290.0)
+
+    def test_cloud_fraction_limits(self):
+        from mpas_tpu.cores.atmosphere.physics.oml import cloud_fraction_rh
+        t = jnp.full((3, 5), 280.0)
+        p = jnp.full((3, 5), 9.0e4)
+        qs_dry = jnp.full((3, 5), 1e-4)
+        zq = jnp.zeros((3, 5))
+        f_dry = cloud_fraction_rh(qs_dry, zq, zq, p, t)
+        assert np.allclose(np.asarray(f_dry), 0.0)
+        # hydrometeors force overcast
+        f_cld = cloud_fraction_rh(qs_dry, zq + 1e-4, zq, p, t)
+        assert np.allclose(np.asarray(f_cld), 1.0)
+        # near saturation: fraction rises toward 1
+        es = 611.2 * np.exp(17.67 * (280.0 - 273.15) / (280.0 - 29.65))
+        qs = 0.622 * es / (9.0e4 - es)
+        f_sat = cloud_fraction_rh(jnp.full((3, 5), 0.99 * qs), zq, zq, p, t)
+        assert np.all(np.asarray(f_sat) > 0.5)
