@@ -271,3 +271,15 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
                          stress11=s11c, stress22=s22c, stress12=s12c), \
         {"divergence": divergence, "shear": shear,
          "icePressure": pressure}
+
+
+def principal_stresses(cfg: SeaiceConfig, s11, s22, s12, pressure):
+    """Principal stresses normalized by the ice strength (for the
+    elliptical-yield-curve diagnostic). ref: principal_stresses
+    (mpas_seaice_velocity_solver.F:3066-3109)."""
+    mean = 0.5 * (s11 + s22)
+    rad = jnp.sqrt((0.5 * (s11 - s22)) ** 2 + s12 * s12)
+    pn = jnp.maximum(pressure, cfg.puny)
+    sig1 = jnp.where(pressure > cfg.puny, (mean + rad) / pn, jnp.nan)
+    sig2 = jnp.where(pressure > cfg.puny, (mean - rad) / pn, jnp.nan)
+    return sig1, sig2

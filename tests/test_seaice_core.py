@@ -245,3 +245,32 @@ class TestVariational:
         sp = jnp.sqrt(out.uVelocity ** 2 + out.vVelocity ** 2)
         assert bool(jnp.all(jnp.isfinite(sp)))
         assert 0.001 < float(jnp.max(sp)) < 2.0
+
+
+class TestPrincipalStresses:
+    def test_on_yield_curve_after_spinup(self, box):
+        """After EVP spin-up the normalized principal stresses must lie on
+        or inside the elliptical yield curve
+        ((2 s1 + P)/P)^2/1 + ... ellipse with e=2 (ref: principal_stresses
+        diagnostic + the EVP constitutive law)."""
+        mesh, cfg, grid, state, forcing = box
+        out = run_steps(grid, cfg, state, forcing, 4)
+        from mpas_tpu.cores.seaice.velocity import (aggregate_state,
+                                                    ice_strength,
+                                                    principal_stresses)
+        a, vi, _, _ = aggregate_state(cfg, out)
+        p = ice_strength(cfg, a, vi)
+        s1, s2 = principal_stresses(cfg, out.stress11, out.stress22,
+                                    out.stress12, p)
+        s1n = np.asarray(s1)
+        s2n = np.asarray(s2)
+        valid = np.isfinite(s1n)
+        assert valid.sum() > 10
+        # elliptical yield curve in normalized coords: the stress state
+        # (s1+s2+1)^2 + ((s1-s2)*e)^2 <= ~1 (allow EVP overshoot slack)
+        e = 2.0
+        lhs = (s1n[valid] + s2n[valid] + 1.0) ** 2 \
+            + (e * (s1n[valid] - s2n[valid])) ** 2
+        assert np.percentile(lhs, 95) < 1.5
+        # stresses are compressive on average
+        assert np.mean(s1n[valid] + s2n[valid]) < 0.1
