@@ -142,11 +142,24 @@ def _resume(run: _AtmRun, data: dict):
     return run
 
 
+def _summarize(run: _AtmRun) -> str:
+    """ref: summarize_timestep (mpas_atm_time_integration.F:6675) — global
+    w extremes + accumulated precip extremes, logged per step."""
+    s = run.carry.state
+    wmin = float(jnp.min(s.w))
+    wmax = float(jnp.max(s.w))
+    out = f"w[min,max]=[{wmin:+.3f},{wmax:+.3f}] m/s"
+    rain = getattr(run.carry, "rainnc", None)
+    if rain is not None:
+        out += f" rainnc_max={float(jnp.max(rain)) * 1000.0:.2f} mm"
+    return out
+
+
 HOOKS = CoreHooks(name="atmosphere", config_cls=AtmConfig, setup=_setup,
                   step_chunk=_step_chunk,
                   output_fields=lambda r: _fields(r, False),
                   restart_fields=lambda r: _fields(r, True),
-                  resume=_resume)
+                  resume=_resume, summarize=_summarize)
 
 
 def default_mesh(cfg: AtmConfig) -> str:

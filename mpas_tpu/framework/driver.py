@@ -34,6 +34,9 @@ class CoreHooks:
     output_fields: Callable  # (core_state) -> ({name: (dims, array)}, dims)
     restart_fields: Callable  # like output_fields but complete for resume
     resume: Callable         # (core_state, data) -> core_state
+    # optional per-chunk summary line (ref: summarize_timestep,
+    # mpas_atm_time_integration.F:6675 — global w/precip extremes)
+    summarize: Callable = None
 
 
 class Driver:
@@ -145,8 +148,11 @@ class Driver:
                                                    "restart_timestamp"),
                                       "w") as f:
                                 f.write(self.clock.now.to_string() + "\n")
+            extra = ""
+            if self.hooks.summarize is not None:
+                extra = " " + self.hooks.summarize(self.state)
             self.log.write(f"completed step {done}/{n_total} "
-                           f"({self.clock.now.to_string()})")
+                           f"({self.clock.now.to_string()}){extra}")
         self.log.write(f"run finished in {time.time()-t_wall:.1f}s wall")
         return self
 
