@@ -128,6 +128,7 @@ def itd_remap(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
     h = jnp.where(a > cfg.puny, vi / jnp.maximum(a, cfg.puny), 0.0)
     # destination category of each source category (static bounds)
     dest = jnp.sum(h[..., None] >= bounds[None, None, 1:-1], axis=-1)
+    dest = jnp.minimum(dest, n_cat - 1)   # thickest bin is open-ended
     onehot = jax.nn.one_hot(dest, n_cat, dtype=a.dtype)  # (nC, nCat, nCat)
 
     def rebin(x):
@@ -135,8 +136,18 @@ def itd_remap(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
 
     a2, vi2, vs2, aT2 = rebin(a), rebin(vi), rebin(vs), rebin(aT)
     T2 = jnp.where(a2 > cfg.puny, aT2 / jnp.maximum(a2, cfg.puny), 0.0)
-    return state.replace(iceAreaCategory=a2, iceVolumeCategory=vi2,
-                         snowVolumeCategory=vs2, surfaceTemperature=T2)
+    out = state.replace(iceAreaCategory=a2, iceVolumeCategory=vi2,
+                        snowVolumeCategory=vs2, surfaceTemperature=T2)
+    # enthalpy tracers ride on volume (conserved quantity = q * v / nlyr)
+    if state.iceEnthalpy is not None:
+        def rebin_q(q, v, v2):
+            qv = jnp.einsum("ckl,ckn->cnl", q * v[..., None], onehot)
+            return jnp.where(v2[..., None] > cfg.puny,
+                             qv / jnp.maximum(v2[..., None], cfg.puny), q)
+        out = out.replace(
+            iceEnthalpy=rebin_q(state.iceEnthalpy, vi, vi2),
+            snowEnthalpy=rebin_q(state.snowEnthalpy, vs, vs2))
+    return out
 
 
 def ridge(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
@@ -148,11 +159,55 @@ def ridge(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
     return state.replace(iceAreaCategory=a * scale)
 
 
+def thermodynamics_multilayer(cfg: SeaiceConfig, state: SeaiceState,
+                              forcing: SeaiceForcing, dt) -> SeaiceState:
+    """BL99/mushy multilayer vertical thermodynamics (+ optional
+    delta-Eddington shortwave); ref ice_therm_{bl99,mushy}.F90 via
+    mpas_seaice_column.F column_vertical_thermodynamics."""
+    from mpas_tpu.cores.seaice.thermo_vertical import thermo_multilayer
+
+    a = state.iceAreaCategory
+    has_ice = a > cfg.puny
+    h_i = jnp.where(has_ice,
+                    state.iceVolumeCategory / jnp.maximum(a, cfg.puny), 0.0)
+    h_s = jnp.where(has_ice,
+                    state.snowVolumeCategory / jnp.maximum(a, cfg.puny), 0.0)
+
+    sw_abs_lyr = albedo = sw_through = None
+    if cfg.config_shortwave_type == "dedd":
+        from mpas_tpu.cores.seaice.shortwave_dedd import dedd_shortwave
+        sw = forcing.shortwaveDown[:, None]
+        albedo, frac_abs, frac_thru = dedd_shortwave(
+            cfg, h_i, h_s, state.iceEnthalpy.shape[-1])
+        sw_abs_lyr = frac_abs * sw[..., None]
+        sw_through = frac_thru * sw
+
+    a2, vi2, vs2, ts2, qi2, qs2, _ = thermo_multilayer(
+        cfg, a, state.iceVolumeCategory, state.snowVolumeCategory,
+        state.surfaceTemperature, state.iceEnthalpy, state.snowEnthalpy,
+        forcing.shortwaveDown[:, None], forcing.longwaveDown[:, None],
+        forcing.airTemperature[:, None], forcing.oceanHeatFlux[:, None],
+        dt, sw_abs_lyr=sw_abs_lyr, albedo=albedo, sw_through=sw_through)
+    # frazil in open water (same capability as the zero-layer path)
+    rhoL = cfg.rho_ice * cfg.latent_heat_fusion
+    open_frac = jnp.clip(1.0 - jnp.sum(a2, axis=-1), 0.0, 1.0)
+    freeze = jnp.maximum(-forcing.oceanHeatFlux, 0.0) * open_frac
+    dv_frazil = dt * freeze / rhoL
+    vi2 = vi2.at[:, 0].add(dv_frazil)
+    a2 = a2.at[:, 0].add(dv_frazil / 0.05)
+    return state.replace(iceAreaCategory=a2, iceVolumeCategory=vi2,
+                         snowVolumeCategory=vs2, surfaceTemperature=ts2,
+                         iceEnthalpy=qi2, snowEnthalpy=qs2)
+
+
 def column_physics_step(cfg: SeaiceConfig, state: SeaiceState,
                         forcing: SeaiceForcing, dt) -> SeaiceState:
     """ref ordering: seaice_column_* called after dynamics/advection
     (mpas_seaice_time_integration.F:42-174)."""
     state = ridge(cfg, state)
-    state = thermodynamics(cfg, state, forcing, dt)
+    if cfg.config_thermo_type in ("bl99", "mushy"):
+        state = thermodynamics_multilayer(cfg, state, forcing, dt)
+    else:
+        state = thermodynamics(cfg, state, forcing, dt)
     state = itd_remap(cfg, state)
     return state

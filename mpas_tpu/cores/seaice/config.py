@@ -36,6 +36,14 @@ class SeaiceConfig:
     # --- column physics ---
     config_use_column_physics: bool = True
     config_n_categories: int = 5
+    # thermodynamics closure: "zero_layer" (Semtner) | "bl99" | "mushy"
+    # (ref: Registry.xml config_heat_conduction / ice_therm_{bl99,mushy})
+    config_thermo_type: str = "zero_layer"
+    config_n_ice_layers: int = 7
+    config_n_snow_layers: int = 1
+    # shortwave scheme: "ccsm3" (band albedos) | "dedd" (delta-Eddington)
+    # (ref: Registry.xml config_shortwave_type, ice_shortwave.F90)
+    config_shortwave_type: str = "ccsm3"
     # WMO-ish category bounds used by CICE ITD (m)
     config_itd_bounds: tuple = (0.0, 0.64, 1.39, 2.47, 4.57, 1.0e8)
 

@@ -52,6 +52,10 @@ class SeaiceState:
     stress11: Any             # (nCells,)
     stress22: Any             # (nCells,)
     stress12: Any             # (nCells,)
+    # multilayer thermodynamics state (None in zero-layer mode):
+    # per-layer enthalpies, J/m3 (ref iceEnthalpy/snowEnthalpy tracers)
+    iceEnthalpy: Any = None   # (nCells, nCat, nIceLayers)
+    snowEnthalpy: Any = None  # (nCells, nCat, nSnowLayers)
 
 
 @struct.dataclass
