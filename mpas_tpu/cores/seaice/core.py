@@ -28,6 +28,9 @@ def seaice_timestep(grid: SeaiceGrid, cfg: SeaiceConfig, state: SeaiceState,
         state, diags = solve_velocities(grid, cfg, state, forcing, dt)
     if cfg.config_advection_type == "upwind":
         state = advect_upwind(grid, cfg, state, dt)
+    elif cfg.config_advection_type == "incremental_remap":
+        from mpas_tpu.cores.seaice.remap import advect_incremental_remap
+        state = advect_incremental_remap(grid, cfg, state, dt)
     if cfg.config_use_column_physics:
         state = column_physics_step(cfg, state, forcing, dt)
     return state, diags
