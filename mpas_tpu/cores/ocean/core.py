@@ -280,17 +280,35 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     return tend_u, tend_h, tend_hT
 
 
-def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
+def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
+                          dt, forcing=None):
     """Backward-Euler vertical mixing of u and tracers
     (ref: ocn_vmix implicit solves, mpas_ocn_vmix.F), with the interface
-    coefficients built by the configured scheme (vmix.build_coefs)."""
+    coefficients built by the configured scheme (vmix.build_coefs). The
+    KPP scheme additionally produces the non-local counter-gradient
+    transport: an explicit flux N(sigma)*F_surf divergence added to the
+    tracers (ref: vertNonLocalFlux / ocn_tracer_nonlocalflux_tend)."""
     from mpas_tpu.cores.ocean.vmix import build_coefs
     mesh = grid.mesh
     nz = grid.nz
     c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
     rho = equation_of_state(cfg, state.tracers[..., 0], state.tracers[..., 1])
-    vert_visc, vert_diff = build_coefs(grid, cfg, state.u,
-                                       state.layerThickness, rho)
+    vert_visc, vert_diff, nonlocal_c = build_coefs(
+        grid, cfg, state.u, state.layerThickness, rho,
+        forcing=forcing, tracers=state.tracers)
+    if nonlocal_c is not None and forcing is not None:
+        # explicit nonlocal tracer flux: F(z) = N(z) * F_surf; tendency =
+        # -dF/dz per layer (temperature from the net heat flux)
+        cp_sw = 3996.0
+        f_surf_T = (forcing.sensibleHeatFlux + forcing.shortwaveFlux) \
+            / (cfg.config_density0 * cp_sw)
+        nzc = state.layerThickness.shape[-1]
+        zero = jnp.zeros_like(nonlocal_c[:, :1])
+        n_full = jnp.concatenate([zero, nonlocal_c, zero], axis=-1)
+        dflux = (n_full[:, :-1] - n_full[:, 1:])   # + at top convergence
+        tr = state.tracers.at[..., 0].add(
+            dt * dflux * f_surf_T[:, None] / state.layerThickness)
+        state = state.replace(tracers=tr)
     if cfg.config_use_redi:
         # Redi (3,3) term: kappa_Redi * S^2 enhances the vertical tracer
         # diffusivity (ref: mpas_ocn_tracer_hmix_Redi.F small-slope tensor)
@@ -329,7 +347,8 @@ _RK_W = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 _RK_S = (0.5, 0.5, 1.0, 0.0)
 
 
-def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt) -> OcnState:
+def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt,
+             forcing=None) -> OcnState:
     """ref: mpas_ocn_time_integration_rk4.F:74 — same pool choreography as
     the SW core, with implicit vertical mixing applied after the RK update."""
     u0, h0 = state.u, state.layerThickness
@@ -348,7 +367,7 @@ def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt) -> OcnState:
                               tracers=(hT0 + w * thT) / hp[..., None])
     out = OcnState(u=u_acc, layerThickness=h_acc,
                    tracers=hT_acc / h_acc[..., None], ubtr=state.ubtr)
-    return implicit_vertical_mix(grid, cfg, out, dt)
+    return implicit_vertical_mix(grid, cfg, out, dt, forcing)
 
 
 def _fperp(mesh: Mesh, v, f_at_edges):
@@ -363,7 +382,7 @@ def _fperp(mesh: Mesh, v, f_at_edges):
 
 
 def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
-               dt) -> OcnState:
+               dt, forcing=None) -> OcnState:
     """Split-explicit barotropic/baroclinic timestep (ref:
     ocn_time_integrator_split, mpas_ocn_time_integration_split.F:82-1926;
     Higdon 2005 scheme as implemented in MPAS-Ocean v7).
@@ -499,7 +518,7 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
 
     out = OcnState(u=u_new * not_bnd[:, None], layerThickness=h_new,
                    tracers=tr_new, ubtr=ubtr_avg)
-    mixed = implicit_vertical_mix(grid, cfg, out, dt)
+    mixed = implicit_vertical_mix(grid, cfg, out, dt, forcing)
     return mixed.replace(ubtr=ubtr_avg)
 
 
@@ -524,9 +543,9 @@ def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
     if forcing is not None:
         state = apply_surface_forcing(grid, cfg, state, forcing, dt)
     if cfg.config_time_integrator == "split_explicit":
-        return split_step(grid, cfg, state, dt)
+        return split_step(grid, cfg, state, dt, forcing)
     if cfg.config_time_integrator == "RK4":
-        return rk4_step(grid, cfg, state, dt)
+        return rk4_step(grid, cfg, state, dt, forcing)
     raise ValueError(
         f"unknown config_time_integrator {cfg.config_time_integrator!r}; "
         "supported: 'split_explicit', 'RK4'")

@@ -121,7 +121,15 @@ _SCHEMES = {
 }
 
 
-def build_coefs(grid, cfg, u, h, rho):
-    """Scheme dispatcher (ref: ocn_vmix_coefs_build, mpas_ocn_vmix.F)."""
+def build_coefs(grid, cfg, u, h, rho, forcing=None, tracers=None):
+    """Scheme dispatcher (ref: ocn_vmix_coefs_build, mpas_ocn_vmix.F).
+    Returns (vert_visc, vert_diff, nonlocal-or-None); the nonlocal
+    coefficient is only produced by the KPP scheme."""
     scheme = getattr(cfg, "config_vert_mix_scheme", "const")
-    return _SCHEMES[scheme](grid, cfg, u, h, rho)
+    if scheme in ("kpp", "cvmix_kpp"):
+        from mpas_tpu.cores.ocean.kpp import coefs_kpp
+        visc, diff, nonlocal_c, _hbl = coefs_kpp(
+            grid, cfg, u, h, rho, forcing=forcing, tracers=tracers)
+        return visc, diff, nonlocal_c
+    visc, diff = _SCHEMES[scheme](grid, cfg, u, h, rho)
+    return visc, diff, None
