@@ -80,6 +80,14 @@ class OcnConfig:
     config_bottom_drag_coeff: float = 1.0e-3
     config_apvm_upwinding: float = 0.0   # ref: config_apvm_scale_factor = 0
     config_rayleigh_friction: float = 0.0
+    # auxiliary tracer groups (ref: mpas_ocn_tracer_ideal_age.F,
+    # mpas_ocn_tracer_exponential_decay.F, mpas_ocn_frazil_forcing.F)
+    config_use_ideal_age: bool = False
+    config_ideal_age_index: int = 2
+    config_use_exponential_decay: bool = False
+    config_exp_decay_index: int = 2
+    config_exp_decay_efolding: float = 30.0 * 86400.0
+    config_use_frazil: bool = False
     # split-explicit barotropic mode (ref: Registry.xml:947-991)
     config_n_ts_iter: int = 2
     config_n_bcl_iter_beg: int = 1
@@ -543,12 +551,31 @@ def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
     if forcing is not None:
         state = apply_surface_forcing(grid, cfg, state, forcing, dt)
     if cfg.config_time_integrator == "split_explicit":
-        return split_step(grid, cfg, state, dt, forcing)
-    if cfg.config_time_integrator == "RK4":
-        return rk4_step(grid, cfg, state, dt, forcing)
-    raise ValueError(
-        f"unknown config_time_integrator {cfg.config_time_integrator!r}; "
-        "supported: 'split_explicit', 'RK4'")
+        out = split_step(grid, cfg, state, dt, forcing)
+    elif cfg.config_time_integrator == "RK4":
+        out = rk4_step(grid, cfg, state, dt, forcing)
+    else:
+        raise ValueError(
+            f"unknown config_time_integrator "
+            f"{cfg.config_time_integrator!r}; "
+            "supported: 'split_explicit', 'RK4'")
+    # auxiliary tracer groups, operator-split after the dynamics
+    # (ref ordering: tracer group tendencies in ocn_tend_tracer + the
+    # frazil adjustment at the end of the split stage 3)
+    if (cfg.config_use_ideal_age or cfg.config_use_exponential_decay
+            or cfg.config_use_frazil):
+        from mpas_tpu.cores.ocean import tracer_extras as tx
+        tr = out.tracers
+        if cfg.config_use_ideal_age:
+            tr = tx.ideal_age_step(tr, cfg.config_ideal_age_index, dt)
+        if cfg.config_use_exponential_decay:
+            tr = tx.exponential_decay_step(
+                tr, cfg.config_exp_decay_index, dt,
+                cfg.config_exp_decay_efolding)
+        out = out.replace(tracers=tr)
+        if cfg.config_use_frazil:
+            out, _frazil = tx.frazil_adjustment(cfg, out, dt)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3))
