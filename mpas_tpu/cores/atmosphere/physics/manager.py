@@ -41,7 +41,8 @@ class PhysicsConfig:
     config_conv_interval_s: float = 0.0      # 0 = every step
     config_microp_scheme: str = "wsm6"       # used by the dycore coupling
     config_pbl_scheme: str = "ysu"
-    config_lsm_scheme: str = "slab"
+    config_lsm_scheme: str = "slab"          # "slab" | "noah"
+    config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
     config_gwdo_scheme: str = "off"
     roughness_m: float = 0.1
     albedo: float = 0.2
@@ -60,14 +61,25 @@ class PhysicsState:
     gsw: Any          # (nCells,) last SW absorbed at surface
     rad_tend: Any     # (nCells, nz) cached radiative dT/dt (K/s)
     time_since_rad: Any   # scalar seconds since last radiation call
+    # Noah LSM soil column (None in slab mode; ref sfc_input TSLB/SMOIS)
+    tslb: Any = None      # (nCells, 4) soil temperature
+    smois: Any = None     # (nCells, 4) volumetric soil moisture
+    swe: Any = None       # (nCells,) snow water equivalent (m)
 
 
-def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64):
+def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64,
+                       lsm_scheme="slab"):
     z = jnp.zeros((n_cells,), dtype=dtype)
-    return PhysicsState(
+    st = PhysicsState(
         tsk=z + tsk0, t_deep=z + tsk0, rainc=z, hpbl=z + 100.0,
         glw=z, gsw=z, rad_tend=jnp.zeros((n_cells, nz), dtype=dtype),
         time_since_rad=jnp.asarray(1.0e30, dtype=dtype))
+    if lsm_scheme == "noah":
+        st = st.replace(
+            tslb=jnp.full((n_cells, 4), tsk0, dtype=dtype),
+            smois=jnp.full((n_cells, 4), 0.25, dtype=dtype),
+            swe=z)
+    return st
 
 
 def _edge_wind_tendency(mesh, du_cell, dv_cell):
@@ -112,22 +124,44 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
     mu = cos_zenith(lat, lon, gmt_hours, julian_day)
     due = phys.time_since_rad >= cfg.config_radt_interval_s
 
-    lw_tend, glw, _olr = radiation_lw(t, qv, qc, rho, dz, phys.tsk)
-    sw_tend, gsw = radiation_sw(qv, qc, rho, dz, mu, cfg.albedo)
+    if cfg.config_radiation_scheme == "kdist":
+        from mpas_tpu.cores.atmosphere.physics.rrtmg import (rrtmg_lw,
+                                                             rrtmg_sw)
+        lw_tend, glw, _olr = rrtmg_lw(t, qv, qc, rho, dz, phys.tsk)
+        sw_tend, gsw = rrtmg_sw(qv, qc, rho, dz, mu, cfg.albedo)
+    else:
+        lw_tend, glw, _olr = radiation_lw(t, qv, qc, rho, dz, phys.tsk)
+        sw_tend, gsw = radiation_sw(qv, qc, rho, dz, mu, cfg.albedo)
     rad_tend = jnp.where(due, lw_tend + sw_tend, phys.rad_tend)
     glw = jnp.where(due, glw, phys.glw)
     gsw = jnp.where(due, gsw, phys.gsw)
     t_rad = t + dt * rad_tend
 
     # --- surface layer (ref: driver_sfclayer) ---
-    qsfc = lsm_mod.surface_moisture(phys.tsk, p[:, 0])
+    if cfg.config_lsm_scheme == "noah":
+        from mpas_tpu.cores.atmosphere.physics import noah
+        root = (phys.smois[:, 0] * 0.1 + phys.smois[:, 1] * 0.3
+                + phys.smois[:, 2] * 0.6)
+        beta0 = jnp.clip((root - noah.SMCWLT) / (noah.SMCREF - noah.SMCWLT),
+                         0.0, 1.0)
+        qsfc = noah.noah_surface_moisture(phys.tsk, p[:, 0], beta0)
+    else:
+        qsfc = lsm_mod.surface_moisture(phys.tsk, p[:, 0])
     sfc = sfclay(u_c[:, 0], v_c[:, 0], t_rad[:, 0] / exner[:, 0], qv[:, 0],
                  p[:, 0], rho[:, 0], z_mid[:, 0], phys.tsk, qsfc,
                  cfg.roughness_m)
 
     # --- LSM: advance skin temperature (ref: driver_lsm) ---
-    tsk_new, _g = lsm_mod.slab_lsm(phys.tsk, phys.t_deep, gsw, glw,
-                                   sfc["hfx"], sfc["lh"], dt)
+    if cfg.config_lsm_scheme == "noah":
+        out = noah.noah_lsm(phys.tsk, phys.tslb, phys.smois, phys.swe,
+                            gsw, glw, sfc["hfx"], sfc["lh"],
+                            jnp.zeros_like(phys.tsk), dt)
+        tsk_new = out["tsk"]
+        phys = phys.replace(tslb=out["tslb"], smois=out["smois"],
+                            swe=out["swe"])
+    else:
+        tsk_new, _g = lsm_mod.slab_lsm(phys.tsk, phys.t_deep, gsw, glw,
+                                       sfc["hfx"], sfc["lh"], dt)
 
     # --- PBL (ref: driver_pbl) ---
     th_in = t_rad / exner

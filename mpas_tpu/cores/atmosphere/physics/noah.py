@@ -1,0 +1,140 @@
+"""Noah-class 4-layer land-surface model.
+
+ref capability: src/core_atmosphere/physics/mpas_atmphys_driver_lsm.F +
+physics_wrf/module_sf_noahdrv.F / module_sf_noahlsm.F (Noah: 4 soil
+layers at 0.10/0.30/0.60/1.00 m, prognostic soil temperature and
+moisture, snowpack, beta-method evapotranspiration, skin temperature from
+the linearized surface energy balance).
+
+TPU-first: all columns independent; the 4-layer soil heat diffusion is a
+tiny batched tridiagonal solve (Thomas over the 4-lane soil dimension);
+moisture transport is diffusion + gravity drainage, implicit-free at the
+LSM timestep. Snow is a single bulk layer (SWE) with melt closure.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mpas_tpu.ops.matrix import tridiagonal_solve
+
+_SB = 5.67e-8
+_LV = 2.5e6
+_LF = 3.34e5
+_T0 = 273.15
+
+# soil layer thicknesses (m), Noah standard
+DZS = (0.10, 0.30, 0.60, 1.00)
+# loam-like soil hydraulic/thermal parameters (Noah SOILPARM genre)
+SMCMAX = 0.439        # porosity
+SMCREF = 0.329        # field capacity (transpiration reference)
+SMCWLT = 0.066        # wilting point
+DKSAT = 3.38e-6       # saturated hydraulic conductivity m/s
+BEXP = 5.25           # Clapp-Hornberger b
+QUARTZ = 0.35
+CSOIL = 2.0e6         # soil heat capacity J/m3/K
+
+
+def _qsat(t, p):
+    es = 611.2 * jnp.exp(17.67 * (t - _T0) / (t - 29.65))
+    return 0.622 * es / jnp.maximum(p - es, 100.0)
+
+
+def soil_conductivity(smois):
+    """Johansen-style thermal conductivity as a function of wetness
+    (ref: module_sf_noahlsm TDFCND)."""
+    sr = jnp.clip(smois / SMCMAX, 0.05, 1.0)
+    k_dry = 0.25
+    k_sat = 2.0
+    kersten = jnp.maximum(jnp.log10(sr) + 1.0, 0.0)
+    return k_dry + (k_sat - k_dry) * kersten
+
+
+def noah_lsm(tsk, tslb, smois, swe, gsw, glw, hfx, lh, precip_rate, dt,
+             emiss=0.985, veg_frac=0.5):
+    """One LSM step for every column.
+
+    tsk: (nC,) skin temperature; tslb: (nC,4) soil temperature;
+    smois: (nC,4) volumetric soil moisture; swe: (nC,) snow water
+    equivalent (m); gsw/glw: surface radiation (W/m2); hfx/lh: sensible /
+    latent heat flux from the surface-layer scheme (W/m2, positive up);
+    precip_rate: liquid-equivalent precip reaching the ground (m/s).
+
+    Returns dict(tsk, tslb, smois, swe, beta, g_flux, snow_melt).
+    ref call chain: SFLX -> SHFLX (soil heat) / SMFLX (soil moisture) /
+    SNOPAC-SNOWPACK (snow).
+    """
+    dzs = jnp.asarray(DZS, dtype=tslb.dtype)
+    kt = soil_conductivity(smois)                            # (nC,4)
+
+    # --- skin temperature: linearized energy balance --------------------
+    # Rnet - H - LE - G = 0, G = k1 (tsk - T1) / (dz1/2)
+    snow_cover = jnp.clip(swe / 0.02, 0.0, 1.0)
+    emiss_eff = emiss * (1.0 - 0.02 * snow_cover)
+    kg = kt[:, 0] / (0.5 * dzs[0])
+    f = (gsw + emiss_eff * glw - emiss_eff * _SB * tsk ** 4
+         - hfx - lh - kg * (tsk - tslb[:, 0]))
+    dfdt = -4.0 * emiss_eff * _SB * tsk ** 3 - kg
+    tsk_new = tsk - f / dfdt
+    # snow caps the skin at freezing; the residual energy melts snow
+    has_snow = swe > 1e-6
+    tsk_capped = jnp.where(has_snow, jnp.minimum(tsk_new, _T0), tsk_new)
+    melt_energy = jnp.where(has_snow & (tsk_new > _T0),
+                            jnp.maximum(gsw + emiss_eff * glw
+                                        - emiss_eff * _SB * _T0 ** 4
+                                        - hfx - lh
+                                        - kg * (_T0 - tslb[:, 0]), 0.0),
+                            0.0)
+    snow_melt = jnp.minimum(dt * melt_energy / (_LF * 1000.0), swe)  # m SWE
+    g_flux = kg * (tsk_capped - tslb[:, 0])
+
+    # --- soil heat diffusion (implicit tridiagonal over 4 layers) -------
+    # interface conductance between layer i and i+1
+    kh = 2.0 * kt[:, :-1] * kt[:, 1:] / jnp.maximum(
+        kt[:, :-1] * dzs[1:] + kt[:, 1:] * dzs[:-1], 1e-9)   # (nC,3)
+    eta = dt / (CSOIL * dzs)[None, :]
+    zero = jnp.zeros_like(kh[:, :1])
+    kh_up = jnp.concatenate([zero, kh], axis=1)              # (nC,4)
+    kh_dn = jnp.concatenate([kh, zero], axis=1)
+    a = -eta * kh_up
+    c = -eta * kh_dn
+    b = 1.0 - a - c
+    d = tslb + eta * jnp.concatenate(
+        [g_flux[:, None], jnp.zeros_like(kh)], axis=1)
+    # bottom boundary: zero flux (deep climate handled by layer 4 inertia)
+    tslb_new = tridiagonal_solve(a, b, c, d)
+
+    # --- soil moisture -------------------------------------------------
+    infiltration = precip_rate + snow_melt / jnp.maximum(dt, 1e-9)
+    # beta-method evapotranspiration from the root zone (layers 1-3)
+    root_sm = (smois[:, 0] * dzs[0] + smois[:, 1] * dzs[1]
+               + smois[:, 2] * dzs[2]) / (dzs[0] + dzs[1] + dzs[2])
+    beta = jnp.clip((root_sm - SMCWLT) / (SMCREF - SMCWLT), 0.0, 1.0)
+    et_rate = jnp.maximum(lh, 0.0) / (_LV * 1000.0)          # m/s of water
+    # diffusion between layers (soil water diffusivity from C-H relations)
+    sr = jnp.clip(smois / SMCMAX, 0.05, 1.0)
+    dwdif = DKSAT * BEXP * sr ** (BEXP + 2.0) * 0.5          # m2/s scaled
+    flux_int = dwdif[:, :-1] * (smois[:, :-1] - smois[:, 1:]) \
+        / (0.5 * (dzs[:-1] + dzs[1:]))[None, :]              # (nC,3) down +
+    drain = DKSAT * sr[:, -1] ** (2.0 * BEXP + 3.0)          # bottom drain
+    dsm = jnp.zeros_like(smois)
+    dsm = dsm.at[:, 0].add(
+        (infiltration - et_rate * veg_frac - flux_int[:, 0]) / dzs[0])
+    dsm = dsm.at[:, 1].add((flux_int[:, 0] - flux_int[:, 1]) / dzs[1])
+    dsm = dsm.at[:, 2].add((flux_int[:, 1] - flux_int[:, 2]) / dzs[2])
+    dsm = dsm.at[:, 3].add((flux_int[:, 2] - drain) / dzs[3])
+    smois_new = jnp.clip(smois + dt * dsm, 0.02, SMCMAX)
+
+    swe_new = jnp.maximum(swe - snow_melt, 0.0)
+
+    return {
+        "tsk": tsk_capped, "tslb": tslb_new, "smois": smois_new,
+        "swe": swe_new, "beta": beta, "g_flux": g_flux,
+        "snow_melt": snow_melt,
+    }
+
+
+def noah_surface_moisture(tsk, p_sfc, beta):
+    """qsfc for the surface-layer scheme: beta-scaled saturation
+    (ref: Noah beta-method evaporation)."""
+    return beta * _qsat(tsk, p_sfc)
