@@ -26,8 +26,12 @@ class LiConfig:
     config_default_flowParamA: float = 3.1709792e-24
     config_flowParamA_calculation: str = "constant"  # or "PB1982"
 
-    # thermal solver (ref: config_thermal_solver 'none'|'temperature')
+    # thermal solver (ref: config_thermal_solver
+    # 'none'|'temperature'|'enthalpy')
     config_thermal_solver: str = "temperature"
+    # thickness advection (ref: config_thickness_advection
+    # 'fo'|'centered'|'incremental_remapping')
+    config_thickness_advection: str = "centered"
     config_surface_air_temperature: float = 268.15   # K
     config_geothermal_flux: float = 0.042            # W/m2 upward
 

@@ -47,6 +47,9 @@ class LiState:
     # diagnostics carried across steps
     normalVelocity: Any         # (nEdges, nz+1) m/s at layer interfaces
     calvingFlux: Any            # (nCells,) m of ice removed (cumulative)
+    # polythermal state (enthalpy solver; ref waterFrac tracer)
+    waterFrac: Any = None       # (nCells, nz) liquid water fraction
+    basalMeltRate: Any = None   # (nCells,) m of ice / s
 
 
 def make_grid(mesh: Mesh, cfg: LiConfig, bed=None) -> LiGrid:
@@ -208,19 +211,37 @@ def fe_step(grid: LiGrid, cfg: LiConfig, state: LiState, dt) -> LiState:
     """One forward-Euler step (ref: li_time_integrator_forwardeuler,
     mpas_li_time_integration_fe.F)."""
     u_int = sia_velocity(grid, cfg, state.thickness, state.temperature)
-    h = advect_thickness_fo(grid, cfg, state.thickness, u_int, dt)
     t = state.temperature
+    if cfg.config_thickness_advection == "incremental_remapping":
+        from mpas_tpu.cores.landice.advection_ir import advect_thickness_ir
+        h, t = advect_thickness_ir(grid, cfg, state.thickness, t, u_int,
+                                   dt)
+    else:
+        h = advect_thickness_fo(grid, cfg, state.thickness, u_int, dt,
+                                scheme=cfg.config_thickness_advection)
+    out = state
     if cfg.config_thermal_solver == "temperature":
         t = thermal_solve(grid, cfg, h, t, dt)
+    elif cfg.config_thermal_solver == "enthalpy":
+        from mpas_tpu.cores.landice.thermal_enthalpy import (
+            thermal_solve_enthalpy)
+        t, w, bmr = thermal_solve_enthalpy(grid, cfg, h, t,
+                                           state.waterFrac, dt)
+        out = out.replace(waterFrac=w, basalMeltRate=bmr)
     h, cf = calve(grid, cfg, h, state.calvingFlux)
-    return state.replace(thickness=h, temperature=t,
-                         normalVelocity=u_int, calvingFlux=cf)
+    return out.replace(thickness=h, temperature=t,
+                       normalVelocity=u_int, calvingFlux=cf)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3))
 def run_steps(grid: LiGrid, cfg: LiConfig, state: LiState,
               n_steps: int) -> LiState:
     dt = jnp.asarray(cfg.config_dt, dtype=state.thickness.dtype)
+    if cfg.config_thermal_solver == "enthalpy" and state.waterFrac is None:
+        # materialize the polythermal carry so the scan pytree is stable
+        state = state.replace(
+            waterFrac=jnp.zeros_like(state.temperature),
+            basalMeltRate=jnp.zeros_like(state.thickness))
 
     def body(s, _):
         return fe_step(grid, cfg, s, dt), None

@@ -7,7 +7,7 @@ remapping (Dukowicz & Baumgardner 2000 / Lipscomb & Hunke 2004) — the
 transport across each edge over a step is the integral of a limited
 linear reconstruction over the *departure region* swept through the edge.
 
-TPU-first redesign:
+TPU-first redesign (machinery shared with land ice in ops/remap.py):
   * departure points of the two edge vertices from the vertex velocities
     (one fused gather), departure quad split into two triangles per edge;
   * each triangle is assigned whole to the cell on the upwind side of the
@@ -20,13 +20,9 @@ TPU-first redesign:
     ref: construct_fields/limited_gradient);
   * triangle integrals by the 3-point edge-midpoint quadrature rule
     (exact to quadratic order, i.e. exact for products of two linear
-    reconstructions like a*h; the reference uses the same order for its
-    quadratic integrals);
-  * the tracer hierarchy a -> (h, hs, T) transports children as products
-    with the parent reconstruction, so mass/energy ride consistently.
-
-All fluxes are per-edge batched over categories (trailing lanes); the
-cell update is the standard masked edgesOnCell sum — scatter-free.
+    reconstructions like a*h);
+  * the tracer hierarchy a -> (h, hs, T) -> layer enthalpies transports
+    children as products with the parent reconstruction.
 """
 
 from __future__ import annotations
@@ -35,172 +31,13 @@ import jax.numpy as jnp
 
 from mpas_tpu.cores.seaice.config import SeaiceConfig
 from mpas_tpu.cores.seaice.state import SeaiceGrid, SeaiceState
-
-
-def _cell_gradient(mesh, phi, xc, yc):
-    """Least-squares linear gradient of a cell field over cellsOnCell,
-    van-Leer limited so the reconstruction stays within neighbor bounds.
-    phi: (nCells, ...) — gradient over trailing dims batched."""
-    coc = mesh.cellsOnCell                      # (nCells, maxEdges)
-    # valid-neighbor mask: real edge slot and not a self/pad pointer
-    self_ix = jnp.arange(coc.shape[0])[:, None]
-    mask = mesh.edgesOnCellMask * (coc != self_ix)
-    dx = jnp.where(mask > 0, xc[coc] - xc[:, None], 0.0)
-    dy = jnp.where(mask > 0, yc[coc] - yc[:, None], 0.0)
-
-    extra = phi.ndim - 1
-    def up(v):  # lift geometry to broadcast over tracer lanes
-        return v.reshape(v.shape + (1,) * extra)
-
-    dphi = jnp.where(up(mask) > 0, phi[coc] - phi[:, None], 0.0)
-    # normal equations for [gx, gy]
-    sxx = jnp.sum(dx * dx, axis=1) + 1e-12
-    sxy = jnp.sum(dx * dy, axis=1)
-    syy = jnp.sum(dy * dy, axis=1) + 1e-12
-    bx = jnp.sum(up(dx) * dphi, axis=1)
-    by = jnp.sum(up(dy) * dphi, axis=1)
-    det = sxx * syy - sxy * sxy
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    gx = (up(syy) * bx - up(sxy) * by) / up(det)
-    gy = (up(sxx) * by - up(sxy) * bx) / up(det)
-
-    # van-Leer limiter: scale gradient so the reconstruction at the
-    # neighbor-displacement extremes stays within [min, max] of the stencil
-    phin_max = jnp.max(jnp.where(up(mask) > 0, phi[coc],
-                                 phi[:, None]), axis=1)
-    phin_min = jnp.min(jnp.where(up(mask) > 0, phi[coc],
-                                 phi[:, None]), axis=1)
-    excur = up(dx) * gx[:, None] + up(dy) * gy[:, None]
-    exc_max = jnp.max(jnp.where(up(mask) > 0, excur, 0.0), axis=1)
-    exc_min = jnp.min(jnp.where(up(mask) > 0, excur, 0.0), axis=1)
-    alpha_up = jnp.where(exc_max > 1e-14,
-                         (phin_max - phi) / jnp.maximum(exc_max, 1e-14),
-                         1.0)
-    alpha_dn = jnp.where(exc_min < -1e-14,
-                         (phin_min - phi) / jnp.minimum(exc_min, -1e-14),
-                         1.0)
-    alpha = jnp.clip(jnp.minimum(alpha_up, alpha_dn), 0.0, 1.0)
-    return gx * alpha, gy * alpha
-
+from mpas_tpu.ops.remap import (apply_fluxes, cell_gradient,
+                                departure_triangles, edge_flux,
+                                product_flux)
 
 def _departure_triangles(grid: SeaiceGrid, u_v, v_v, dt):
-    """Per-edge departure quad split into two triangles.
-
-    Returns (signed areas (nEdges, 2), quadrature points x/y
-    (nEdges, 2, 3)). Signed area > 0 means flux cell1 -> cell2 (along the
-    edge normal). ref: find_departure_points / triangle decomposition in
-    mpas_seaice_advection_incremental_remap.F."""
-    m = grid.mesh
-    voe = m.verticesOnEdge
-    xv, yv = m.xVertex, m.yVertex
-    x1, y1 = xv[voe[:, 0]], yv[voe[:, 0]]
-    x2, y2 = xv[voe[:, 1]], yv[voe[:, 1]]
-    # departure points (backward trajectory)
-    xd1 = x1 - dt * u_v[voe[:, 0]]
-    yd1 = y1 - dt * v_v[voe[:, 0]]
-    xd2 = x2 - dt * u_v[voe[:, 1]]
-    yd2 = y2 - dt * v_v[voe[:, 1]]
-
-    # edge normal (cell1 -> cell2)
-    ne = jnp.cos(m.angleEdge)
-    nn = jnp.sin(m.angleEdge)
-
-    def tri(ax, ay, bx, by, cx, cy):
-        # signed area positive when wound counter-clockwise
-        area = 0.5 * ((bx - ax) * (cy - ay) - (cx - ax) * (by - ay))
-        # 3-point (edge midpoint) quadrature nodes
-        qx = jnp.stack([0.5 * (ax + bx), 0.5 * (bx + cx), 0.5 * (cx + ax)],
-                       axis=-1)
-        qy = jnp.stack([0.5 * (ay + by), 0.5 * (by + cy), 0.5 * (cy + ay)],
-                       axis=-1)
-        return area, qx, qy
-
-    # quad (v1, v2, d2, d1) -> triangles (v1, v2, d2) and (v1, d2, d1).
-    a1, qx1, qy1 = tri(x1, y1, x2, y2, xd2, yd2)
-    a2, qx2, qy2 = tri(x1, y1, xd2, yd2, xd1, yd1)
-    areas = jnp.stack([a1, a2], axis=-1)               # (nEdges, 2)
-    qx = jnp.stack([qx1, qx2], axis=-2)                # (nEdges, 2, 3)
-    qy = jnp.stack([qy1, qy2], axis=-2)
-
-    # Sign convention: for uniform u the quad (v1,v2,d2,d1) has shoelace
-    # area (v2-v1) x (-u dt) = dv dt (u.n) when the vertex order runs
-    # along t = k x n (then t x n = -1). flux(cell1->cell2) = +area in
-    # that frame; a flipped vertex order flips both the winding and
-    # orient, so flux = -area * sign(t x n) is correct for both.
-    tx = x2 - x1
-    ty = y2 - y1
-    orient = jnp.sign(tx * nn - ty * ne + 1e-30)
-    flux_areas = -areas * orient[:, None]
-    # no transport through closed boundary edges
-    open_edge = (m.boundaryEdge <= 0)
-    flux_areas = jnp.where(open_edge[:, None], flux_areas, 0.0)
-    return flux_areas, qx, qy
-
-
-def _edge_flux(grid: SeaiceGrid, flux_areas, qx, qy, fields, gxs, gys,
-               xc, yc):
-    """Integrate each reconstructed field over the departure triangles.
-
-    fields/gxs/gys: lists of (nCells, ...) values and gradients. The
-    source cell per triangle is cell1 when its flux area > 0 else cell2.
-    Returns per-field edge fluxes (nEdges, ...): amount crossing from
-    cell1 to cell2 (signed)."""
-    m = grid.mesh
-    coe = m.cellsOnEdge
-    src = jnp.where(flux_areas > 0.0, coe[:, 0:1], coe[:, 1:2])  # (nE,2)
-
-    outs = []
-    for phi, gx, gy in zip(fields, gxs, gys):
-        extra = phi.ndim - 1
-        def up(v):
-            return v.reshape(v.shape + (1,) * extra)
-        # quadrature evaluation of phi at the 3 nodes of both triangles
-        phi_s = phi[src]                       # (nE, 2, ...)
-        gx_s = gx[src]
-        gy_s = gy[src]
-        dxq = qx - xc[src][..., None]          # (nE, 2, 3)
-        dyq = qy - yc[src][..., None]
-        dxq = dxq.reshape(dxq.shape + (1,) * extra)
-        dyq = dyq.reshape(dyq.shape + (1,) * extra)
-        vals = (phi_s[:, :, None] + gx_s[:, :, None] * dxq
-                + gy_s[:, :, None] * dyq)       # (nE,2,3,...)
-        integ = up(flux_areas) * jnp.mean(vals, axis=2)
-        outs.append(jnp.sum(integ, axis=1))    # sum the two triangles
-    return outs
-
-
-def _product_flux(grid: SeaiceGrid, flux_areas, qx, qy,
-                  parent, pgx, pgy, child, cgx, cgy, xc, yc):
-    """Flux of the product parent*child (e.g. volume = a*h): evaluate both
-    linear reconstructions at the quadrature nodes and integrate their
-    product (3-pt rule: exact for the quadratic integrand)."""
-    m = grid.mesh
-    coe = m.cellsOnEdge
-    src = jnp.where(flux_areas > 0.0, coe[:, 0:1], coe[:, 1:2])
-    extra = parent.ndim - 1
-
-    dxq = qx - xc[src][..., None]
-    dyq = qy - yc[src][..., None]
-    dxq = dxq.reshape(dxq.shape + (1,) * extra)
-    dyq = dyq.reshape(dyq.shape + (1,) * extra)
-    p = parent[src][:, :, None] + pgx[src][:, :, None] * dxq \
-        + pgy[src][:, :, None] * dyq
-    c = child[src][:, :, None] + cgx[src][:, :, None] * dxq \
-        + cgy[src][:, :, None] * dyq
-    fa = flux_areas.reshape(flux_areas.shape + (1,) * extra)
-    integ = fa * jnp.mean(p * c, axis=2)
-    return jnp.sum(integ, axis=1)
-
-
-def _apply_fluxes(mesh, flux, field):
-    """cell update: field -= sum(signed fluxes) / areaCell."""
-    eoc = mesh.edgesOnCell
-    sgn = mesh.edgeSignOnCell
-    extra = field.ndim - 1
-    w = sgn.reshape(sgn.shape + (1,) * extra)
-    div = jnp.sum(w * flux[eoc], axis=1)
-    inv_a = mesh.invAreaCell.reshape(mesh.invAreaCell.shape + (1,) * extra)
-    return field - div * inv_a
+    """Adapter kept for the geometric-core tests."""
+    return departure_triangles(grid.mesh, u_v, v_v, dt)
 
 
 def advect_incremental_remap(grid: SeaiceGrid, cfg: SeaiceConfig,
@@ -219,26 +56,26 @@ def advect_incremental_remap(grid: SeaiceGrid, cfg: SeaiceConfig,
     hs = jnp.where(a > cfg.puny, vs / jnp.maximum(a, cfg.puny), 0.0)
 
     # limited linear reconstructions (a; children h, hs, T on the parent)
-    agx, agy = _cell_gradient(m, a, xc, yc)
-    hgx, hgy = _cell_gradient(m, h, xc, yc)
-    sgx, sgy = _cell_gradient(m, hs, xc, yc)
-    tgx, tgy = _cell_gradient(m, T, xc, yc)
+    agx, agy = cell_gradient(m, a, xc, yc)
+    hgx, hgy = cell_gradient(m, h, xc, yc)
+    sgx, sgy = cell_gradient(m, hs, xc, yc)
+    tgx, tgy = cell_gradient(m, T, xc, yc)
 
-    flux_areas, qx, qy = _departure_triangles(
-        grid, state.uVelocity, state.vVelocity, dt)
+    flux_areas, qx, qy = departure_triangles(
+        m, state.uVelocity, state.vVelocity, dt)
 
-    (fa,) = _edge_flux(grid, flux_areas, qx, qy, [a], [agx], [agy], xc, yc)
-    fvi = _product_flux(grid, flux_areas, qx, qy, a, agx, agy,
-                        h, hgx, hgy, xc, yc)
-    fvs = _product_flux(grid, flux_areas, qx, qy, a, agx, agy,
-                        hs, sgx, sgy, xc, yc)
-    faT = _product_flux(grid, flux_areas, qx, qy, a, agx, agy,
-                        T, tgx, tgy, xc, yc)
+    (fa,) = edge_flux(m, flux_areas, qx, qy, [a], [agx], [agy], xc, yc)
+    fvi = product_flux(m, flux_areas, qx, qy, a, agx, agy,
+                       h, hgx, hgy, xc, yc)
+    fvs = product_flux(m, flux_areas, qx, qy, a, agx, agy,
+                       hs, sgx, sgy, xc, yc)
+    faT = product_flux(m, flux_areas, qx, qy, a, agx, agy,
+                       T, tgx, tgy, xc, yc)
 
-    a1 = jnp.maximum(_apply_fluxes(m, fa, a), 0.0)
-    vi1 = jnp.maximum(_apply_fluxes(m, fvi, vi), 0.0)
-    vs1 = jnp.maximum(_apply_fluxes(m, fvs, vs), 0.0)
-    aT1 = _apply_fluxes(m, faT, a * T)
+    a1 = jnp.maximum(apply_fluxes(m, fa, a), 0.0)
+    vi1 = jnp.maximum(apply_fluxes(m, fvi, vi), 0.0)
+    vs1 = jnp.maximum(apply_fluxes(m, fvs, vs), 0.0)
+    aT1 = apply_fluxes(m, faT, a * T)
     T1 = jnp.where(a1 > cfg.puny, aT1 / jnp.maximum(a1, cfg.puny), T)
 
     out = state.replace(iceAreaCategory=a1, iceVolumeCategory=vi1,
@@ -249,14 +86,14 @@ def advect_incremental_remap(grid: SeaiceGrid, cfg: SeaiceConfig,
         qs = state.snowEnthalpy
         qiv = qi * vi[..., None]
         qsv = qs * vs[..., None]
-        qgx, qgy = _cell_gradient(m, qiv, xc, yc)
-        (fq,) = _edge_flux(grid, flux_areas, qx, qy, [qiv], [qgx], [qgy],
-                           xc, yc)
-        qiv1 = _apply_fluxes(m, fq, qiv)
-        sgx2, sgy2 = _cell_gradient(m, qsv, xc, yc)
-        (fqs,) = _edge_flux(grid, flux_areas, qx, qy, [qsv], [sgx2],
-                            [sgy2], xc, yc)
-        qsv1 = _apply_fluxes(m, fqs, qsv)
+        qgx, qgy = cell_gradient(m, qiv, xc, yc)
+        (fq,) = edge_flux(m, flux_areas, qx, qy, [qiv], [qgx], [qgy],
+                          xc, yc)
+        qiv1 = apply_fluxes(m, fq, qiv)
+        sgx2, sgy2 = cell_gradient(m, qsv, xc, yc)
+        (fqs,) = edge_flux(m, flux_areas, qx, qy, [qsv], [sgx2],
+                           [sgy2], xc, yc)
+        qsv1 = apply_fluxes(m, fqs, qsv)
         qi1 = jnp.where(vi1[..., None] > cfg.puny,
                         qiv1 / jnp.maximum(vi1[..., None], cfg.puny), qi)
         qs1 = jnp.where(vs1[..., None] > cfg.puny,
