@@ -1,0 +1,165 @@
+"""Real-data (GFS, init case 7) pipeline: WPS intermediate IO, real-case
+initialization, GWD statics.
+
+Parity model: mpas_init_atm_read_met.F round-trip fidelity,
+init_atm_case_gfs balance properties, mpas_init_atm_gwd.F statistics.
+"""
+
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.init_atmosphere import met_reader as mr
+from mpas_tpu.cores.init_atmosphere.gwd import gwd_statics
+
+
+def _synthetic_gfs(tmp_path, nx=72, ny=37):
+    """Global 5-degree synthetic GFS first guess."""
+    lats = -90.0 + 5.0 * np.arange(ny)
+    lons = 0.0 + 5.0 * np.arange(nx)
+    LA, LO = np.meshgrid(lats, lons, indexing="ij")
+    plevs = np.array([100000.0, 85000.0, 70000.0, 50000.0, 30000.0,
+                      20000.0, 10000.0])
+    fields = []
+
+    def std_z(p):
+        return 287.0 * 250.0 / 9.81 * np.log(101325.0 / p)
+
+    for p in plevs:
+        t = 288.0 - 55.0 * np.log(101325.0 / p) / np.log(101325.0 / 1e4) \
+            + 10.0 * np.cos(np.radians(LA))
+        z = std_z(p) * (1.0 + 0.01 * np.cos(np.radians(LA)))
+        u = 20.0 * np.sin(np.radians(2.0 * LA)) ** 2 * (p / 1e5)
+        v = np.zeros_like(u)
+        rh = 50.0 * np.ones_like(u) * (p / 1e5)
+        for name, slab, units in [("TT", t, "K"), ("GHT", z, "m"),
+                                  ("UU", u, "m s-1"), ("VV", v, "m s-1"),
+                                  ("RH", rh, "%")]:
+            fields.append(mr.MetField(
+                field=name, units=units, desc=f"{name} at {p}",
+                hdate="2020-01-01_00:00:00", xfcst=0.0, xlvl=float(p),
+                nx=nx, ny=ny, iproj=0, startlat=float(lats[0]),
+                startlon=float(lons[0]), deltalat=5.0, deltalon=5.0,
+                earth_radius=6371.229, is_wind_grid_rel=False,
+                slab=slab))
+    for name, slab in [("PSFC", 101325.0 - 500.0 * np.cos(np.radians(LA))),
+                       ("SKINTEMP", 288.0 + 12.0 * np.cos(np.radians(LA))),
+                       ("SOILHGT", 200.0 * np.maximum(
+                           np.cos(np.radians(LA)), 0.0))]:
+        fields.append(mr.MetField(
+            field=name, units="-", desc=name,
+            hdate="2020-01-01_00:00:00", xfcst=0.0, xlvl=200100.0,
+            nx=nx, ny=ny, iproj=0, startlat=float(lats[0]),
+            startlon=float(lons[0]), deltalat=5.0, deltalon=5.0,
+            earth_radius=6371.229, is_wind_grid_rel=False,
+            slab=np.asarray(slab, dtype=np.float64)))
+    path = str(tmp_path / "FILE_2020-01-01_00")
+    mr.write_met_file(path, fields)
+    return path
+
+
+class TestMetIO:
+    def test_roundtrip(self, tmp_path):
+        path = _synthetic_gfs(tmp_path)
+        fields = mr.read_met_file(path)
+        names = {f.field for f in fields}
+        assert {"TT", "GHT", "UU", "VV", "RH", "PSFC", "SKINTEMP",
+                "SOILHGT"} <= names
+        tt = [f for f in fields if f.field == "TT"]
+        assert len(tt) == 7
+        f0 = tt[0]
+        assert f0.nx == 72 and f0.ny == 37 and f0.iproj == 0
+        assert f0.deltalat == pytest.approx(5.0)
+        # slab round-trips in float32 precision
+        levels, slabs = mr.fields_by_level(fields, "TT")
+        assert levels[0] == pytest.approx(100000.0)
+        assert np.all(np.diff(levels) < 0)
+        assert np.isfinite(slabs).all()
+
+    def test_surface_field(self, tmp_path):
+        path = _synthetic_gfs(tmp_path)
+        fields = mr.read_met_file(path)
+        psfc = mr.surface_field(fields, "PSFC")
+        assert psfc is not None and psfc.shape == (37, 72)
+
+
+class TestRealInit:
+    @pytest.fixture(scope="class")
+    def real_ic(self, tmp_path_factory):
+        from mpas_tpu.mesh.sphere import icosahedral_mesh
+        from mpas_tpu.cores.atmosphere.config import AtmConfig
+        from mpas_tpu.cores.init_atmosphere.real_case import init_real
+        path = _synthetic_gfs(tmp_path_factory.mktemp("met"))
+        fields = mr.read_met_file(path)
+        mesh = icosahedral_mesh(4, lloyd_iters=1)     # 162 cells
+        cfg = AtmConfig(config_nvertlevels=10, config_dt=600.0,
+                        config_len_disp=1.9e6)
+        grid, state, diag, extras = init_real(mesh, cfg, fields)
+        return mesh, cfg, grid, state, diag, extras
+
+    def test_state_physical(self, real_ic):
+        mesh, cfg, grid, state, diag, extras = real_ic
+        th = np.asarray(state.theta_m)
+        rho = np.asarray(state.rho_zz) * np.asarray(grid.zz)
+        assert np.isfinite(th).all() and np.isfinite(rho).all()
+        assert th.min() > 230.0 and th.max() < 2000.0
+        assert rho.min() > 0.005 and rho.max() < 1.6
+        qv = np.asarray(state.scalars[..., 0])
+        assert qv.min() >= 0.0 and qv.max() < 0.03
+        # terrain made it into the grid
+        assert np.asarray(grid.zgrid)[:, 0].max() > 50.0
+        assert np.asarray(extras["skintemp"]).max() > 295.0
+
+    def test_hydrostatic_residual_small(self, real_ic):
+        """dp/dz ~ -rho g within a few percent (hydrostatic balance)."""
+        mesh, cfg, grid, state, diag, extras = real_ic
+        from mpas_tpu.constants import cp, rgas, p0, gravity
+        exner = np.asarray(diag.exner)
+        th = np.asarray(state.theta_m)
+        p = p0 * exner ** (cp / rgas)
+        zgrid = np.asarray(grid.zgrid)
+        zmid = 0.5 * (zgrid[:, 1:] + zgrid[:, :-1])
+        dpdz = (p[:, 1:] - p[:, :-1]) / (zmid[:, 1:] - zmid[:, :-1])
+        rho_mid = 0.5 * (np.asarray(state.rho_zz * grid.zz)[:, 1:]
+                         + np.asarray(state.rho_zz * grid.zz)[:, :-1])
+        resid = np.abs(dpdz + rho_mid * gravity) / (rho_mid * gravity)
+        assert np.median(resid) < 0.05
+
+    def test_one_dycore_step_stable(self, real_ic):
+        import jax
+        import jax.numpy as jnp
+        mesh, cfg, grid, state, diag, extras = real_ic
+        from mpas_tpu.cores.atmosphere.time_integration import (init_carry,
+                                                                run_steps)
+        gridj = jax.tree.map(jnp.asarray, grid)
+        carry = init_carry(gridj, cfg, jax.tree.map(jnp.asarray, state),
+                           jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+        out = run_steps(gridj, cfg, carry, cfg.config_dt, 2)
+        assert bool(jnp.all(jnp.isfinite(out.state.u)))
+        assert bool(jnp.all(jnp.isfinite(out.state.theta_m)))
+
+
+class TestGWD:
+    def test_statistics_flat_vs_rough(self):
+        ny = nx = 64
+        rng = np.random.default_rng(1)
+        flat = np.zeros((ny, nx))
+        rough = 300.0 * rng.standard_normal((ny, nx))
+        i_c = np.asarray([32.0])
+        j_c = np.asarray([32.0])
+        s_flat = gwd_statics(flat, i_c, j_c)
+        s_rough = gwd_statics(rough, i_c, j_c)
+        assert s_flat["var2d"][0] == pytest.approx(0.0)
+        assert s_rough["var2d"][0] > 100.0
+        for k in ("ol1", "ol2", "ol3", "ol4"):
+            assert 0.0 <= s_rough[k][0] <= 1.0
+        for k in ("oa1", "oa2", "oa3", "oa4"):
+            assert -1.0 <= s_rough[k][0] <= 1.0
+
+    def test_asymmetry_sign(self):
+        """Terrain rising to the east -> OA1 (W-E asymmetry) positive."""
+        ny = nx = 64
+        ii = np.arange(nx)[None, :] * np.ones((ny, 1))
+        ramp = 10.0 * ii
+        s = gwd_statics(ramp, np.asarray([32.0]), np.asarray([32.0]))
+        assert s["oa1"][0] > 0.3
+        assert abs(s["oa2"][0]) < 0.1
