@@ -19,6 +19,7 @@ from mpas_tpu.cores.atmosphere.physics.kessler import kessler
 
 IDX_QV, IDX_QC, IDX_QR = 0, 1, 2
 IDX_QI, IDX_QS, IDX_QG = 3, 4, 5
+IDX_NR, IDX_NI = 6, 7        # Thompson number concentrations
 RCV = rgas / (cp - rgas)
 
 
@@ -49,6 +50,49 @@ def microphysics_step(grid, theta_m, rho_zz, scalars, exner, dt):
     scalars = scalars.at[..., IDX_QV].set(qv) \
                      .at[..., IDX_QC].set(qc) \
                      .at[..., IDX_QR].set(qr)
+
+    rtheta_p = rho_zz * theta_m_new - grid.rtheta_base
+    exner_new = (grid.zz * (rgas / p0)
+                 * (rtheta_p + grid.rtheta_base)) ** RCV
+    pressure_p = grid.zz * rgas * (exner_new * rtheta_p
+                                   + (exner_new - grid.exner_base)
+                                   * grid.rtheta_base)
+    return (theta_m_new, scalars, rtheta_p, exner_new, pressure_p,
+            rt_diabatic_tend, rain)
+
+
+def microphysics_step_thompson(grid, theta_m, rho_zz, scalars, exner, dt):
+    """Thompson partially-two-moment microphysics (same coupling contract;
+    ref: driver_microphysics dispatch on config_microp_scheme =
+    'mp_thompson'). Requires scalars (qv,qc,qr,qi,qs,qg,nr,ni)."""
+    from mpas_tpu.cores.atmosphere.physics.thompson import thompson
+
+    qv = jnp.maximum(scalars[..., IDX_QV], 0.0)
+    qc = jnp.maximum(scalars[..., IDX_QC], 0.0)
+    qr = jnp.maximum(scalars[..., IDX_QR], 0.0)
+    qi = jnp.maximum(scalars[..., IDX_QI], 0.0)
+    qs = jnp.maximum(scalars[..., IDX_QS], 0.0)
+    qg = jnp.maximum(scalars[..., IDX_QG], 0.0)
+    nr = scalars[..., IDX_NR]
+    ni = scalars[..., IDX_NI]
+    rho_dry = grid.zz * rho_zz
+    th = theta_m / (1.0 + rvord * qv)
+    dz = grid.zgrid[:, 1:] - grid.zgrid[:, :-1]
+    p = p0 * exner ** (cp / rgas)
+
+    th, qv, qc, qr, qi, qs, qg, nr, ni, rain = thompson(
+        th, qv, qc, qr, qi, qs, qg, nr, ni, rho_dry, exner, p, dz, dt)
+
+    theta_m_new = th * (1.0 + rvord * qv)
+    rt_diabatic_tend = (theta_m_new - theta_m) / dt
+    scalars = scalars.at[..., IDX_QV].set(qv) \
+                     .at[..., IDX_QC].set(qc) \
+                     .at[..., IDX_QR].set(qr) \
+                     .at[..., IDX_QI].set(qi) \
+                     .at[..., IDX_QS].set(qs) \
+                     .at[..., IDX_QG].set(qg) \
+                     .at[..., IDX_NR].set(nr) \
+                     .at[..., IDX_NI].set(ni)
 
     rtheta_p = rho_zz * theta_m_new - grid.rtheta_base
     exner_new = (grid.zz * (rgas / p0)

@@ -40,7 +40,8 @@ class PhysicsConfig:
     config_radt_interval_s: float = 1800.0   # radiation alarm
     config_conv_interval_s: float = 0.0      # 0 = every step
     config_microp_scheme: str = "wsm6"       # used by the dycore coupling
-    config_pbl_scheme: str = "ysu"
+    config_pbl_scheme: str = "ysu"           # "ysu" | "mynn"
+    config_conv_scheme: str = "kf"           # "kf" | "tiedtke"
     config_lsm_scheme: str = "slab"          # "slab" | "noah"
     config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
     config_gwdo_scheme: str = "off"
@@ -65,10 +66,12 @@ class PhysicsState:
     tslb: Any = None      # (nCells, 4) soil temperature
     smois: Any = None     # (nCells, 4) volumetric soil moisture
     swe: Any = None       # (nCells,) snow water equivalent (m)
+    # MYNN prognostic TKE (None in YSU mode; ref qke diag_physics field)
+    qke: Any = None       # (nCells, nz)
 
 
 def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64,
-                       lsm_scheme="slab"):
+                       lsm_scheme="slab", pbl_scheme="ysu"):
     z = jnp.zeros((n_cells,), dtype=dtype)
     st = PhysicsState(
         tsk=z + tsk0, t_deep=z + tsk0, rainc=z, hpbl=z + 100.0,
@@ -79,6 +82,8 @@ def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64,
             tslb=jnp.full((n_cells, 4), tsk0, dtype=dtype),
             smois=jnp.full((n_cells, 4), 0.25, dtype=dtype),
             swe=z)
+    if pbl_scheme == "mynn":
+        st = st.replace(qke=jnp.full((n_cells, nz), 1.0e-4, dtype=dtype))
     return st
 
 
@@ -165,8 +170,14 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
 
     # --- PBL (ref: driver_pbl) ---
     th_in = t_rad / exner
-    u_pbl, v_pbl, th_pbl, qv_pbl, hpbl = ysu(
-        u_c, v_c, th_in, qv, rho, z_mid, dz, sfc, dt)
+    if cfg.config_pbl_scheme == "mynn":
+        from mpas_tpu.cores.atmosphere.physics.mynn import mynn
+        u_pbl, v_pbl, th_pbl, qv_pbl, hpbl, qke_new = mynn(
+            u_c, v_c, th_in, qv, rho, z_mid, dz, sfc, phys.qke, dt)
+        phys = phys.replace(qke=qke_new)
+    else:
+        u_pbl, v_pbl, th_pbl, qv_pbl, hpbl = ysu(
+            u_c, v_c, th_in, qv, rho, z_mid, dz, sfc, dt)
 
     # --- GWDO (optional) ---
     if cfg.config_gwdo_scheme == "on":
@@ -175,8 +186,13 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
                                     cfg.gwdo_var2d, dt)
 
     # --- convection (ref: driver_convection) ---
-    th_cu, qv_cu, rain_c, _cape = kf_convection(
-        th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
+    if cfg.config_conv_scheme == "tiedtke":
+        from mpas_tpu.cores.atmosphere.physics.tiedtke import tiedtke
+        th_cu, qv_cu, rain_c, _cape = tiedtke(
+            th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
+    else:
+        th_cu, qv_cu, rain_c, _cape = kf_convection(
+            th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
 
     # --- couple back to dycore variables ---
     theta_m_new = th_cu * (1.0 + rvord * qv_cu)

@@ -84,10 +84,11 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     diag = carry.diag
     nz = grid.vert.nz
 
-    if cfg.config_microp_scheme not in ("off", "mp_kessler", "mp_wsm6"):
+    if cfg.config_microp_scheme not in ("off", "mp_kessler", "mp_wsm6",
+                                        "mp_thompson"):
         raise ValueError(
             f"unknown config_microp_scheme {cfg.config_microp_scheme!r}; "
-            "supported: 'off', 'mp_kessler', 'mp_wsm6'")
+            "supported: 'off', 'mp_kessler', 'mp_wsm6', 'mp_thompson'")
     if cfg.config_microp_scheme == "mp_kessler" \
             and state1.scalars.shape[-1] < 3:
         raise ValueError("mp_kessler requires scalars (qv, qc, qr); "
@@ -268,11 +269,15 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
     # dynamics (ref: atm_srk3 :1654 driver_microphysics)
     rt_diab_out = carry.rt_diabatic_tend
     rainnc = carry.rainnc
-    if cfg.config_microp_scheme in ("mp_kessler", "mp_wsm6") and moist:
+    if cfg.config_microp_scheme in ("mp_kessler", "mp_wsm6",
+                                    "mp_thompson") and moist:
         from mpas_tpu.cores.atmosphere.physics.driver import (
-            microphysics_step, microphysics_step_wsm6)
-        mp = microphysics_step if cfg.config_microp_scheme == "mp_kessler" \
-            else microphysics_step_wsm6
+            microphysics_step, microphysics_step_thompson,
+            microphysics_step_wsm6)
+        mp = {"mp_kessler": microphysics_step,
+              "mp_wsm6": microphysics_step_wsm6,
+              "mp_thompson": microphysics_step_thompson}[
+            cfg.config_microp_scheme]
         (th2, scalars, rtheta_p, exner, pressure_p, rt_diab_out,
          rain) = mp(grid, th2, rho2, scalars, exner, dt)
         th2 = xch.cell(th2)
