@@ -39,11 +39,11 @@ class _ShardExchange:
         self._c = cell_xch
         self._e = edge_xch
 
-    def cell(self, x):
-        return halo_exchange(self._c, x)
+    def cell(self, x, depth=None):
+        return halo_exchange(self._c, x, depth=depth)
 
-    def edge(self, x):
-        return halo_exchange(self._e, x)
+    def edge(self, x, depth=None):
+        return halo_exchange(self._e, x, depth=depth)
 
 
 @struct.dataclass

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from mpas_tpu.constants import cp, cv, gravity, omega, p0, rgas
 from mpas_tpu.cores.atmosphere.config import AtmConfig
 from mpas_tpu.cores.atmosphere.setup import AtmGrid
+from mpas_tpu.ops.vscan import thomas_prefactor, thomas_solve
 
 RCV = rgas / (cp - rgas)
 C2 = cp * RCV
@@ -577,39 +578,31 @@ def vert_imp_coefs(grid: AtmGrid, cfg: AtmConfig, dts, theta_m, exner,
         / (1.0 + qtot) * exner \
         / ((grid.rtheta_base + rtheta_p) * grid.exner_base)
 
-    # tridiagonal coefficients at interfaces i=1..nz-1 (ref :2092-2121)
-    a_list = [jnp.zeros_like(zpad)]
-    b_list = [jnp.ones_like(zpad)]
-    c_list = [jnp.zeros_like(zpad)]
-    for i in range(1, nz):
-        a_i = -cofwz[:, i:i+1] * coftz[:, i-1:i] * rdzw[i-1] * zz[:, i-1:i] \
-            + cofwr[:, i:i+1] * cofrz[i-1] \
-            - cofwt[:, i-1:i] * coftz[:, i-1:i] * rdzw[i-1]
-        b_i = 1.0 + cofwz[:, i:i+1] * (coftz[:, i:i+1] * rdzw[i] * zz[:, i:i+1]
-                                       + coftz[:, i:i+1] * rdzw[i-1]
-                                       * zz[:, i-1:i]) \
-            - coftz[:, i:i+1] * (cofwt[:, i:i+1] * rdzw[i]
-                                 - cofwt[:, i-1:i] * rdzw[i-1]) \
-            + cofwr[:, i:i+1] * (cofrz[i] - cofrz[i-1])
-        c_i = -cofwz[:, i:i+1] * coftz[:, i+1:i+2] * rdzw[i] * zz[:, i:i+1] \
-            - cofwr[:, i:i+1] * cofrz[i] \
-            + cofwt[:, i:i+1] * coftz[:, i+1:i+2] * rdzw[i]
-        a_list.append(a_i)
-        b_list.append(b_i)
-        c_list.append(c_i)
-    a_tri = jnp.concatenate(a_list + [jnp.zeros_like(zpad)], -1)
-    b_tri = jnp.concatenate(b_list + [jnp.ones_like(zpad)], -1)
-    c_tri = jnp.concatenate(c_list + [jnp.zeros_like(zpad)], -1)
+    # tridiagonal coefficients at interfaces i=1..nz-1, fully vectorized
+    # over the level axis (ref :2092-2121; i-1/i/i+1 stencils become slices)
+    a_mid = -cofwz[:, 1:nz] * coftz[:, 0:nz - 1] * rdzw[:nz - 1] \
+        * zz[:, 0:nz - 1] \
+        + cofwr[:, 1:nz] * cofrz[:nz - 1] \
+        - cofwt[:, 0:nz - 1] * coftz[:, 0:nz - 1] * rdzw[:nz - 1]
+    b_mid = 1.0 + cofwz[:, 1:nz] * (coftz[:, 1:nz] * rdzw[1:nz] * zz[:, 1:nz]
+                                    + coftz[:, 1:nz] * rdzw[:nz - 1]
+                                    * zz[:, 0:nz - 1]) \
+        - coftz[:, 1:nz] * (cofwt[:, 1:nz] * rdzw[1:nz]
+                            - cofwt[:, 0:nz - 1] * rdzw[:nz - 1]) \
+        + cofwr[:, 1:nz] * (cofrz[1:nz] - cofrz[:nz - 1])
+    c_mid = -cofwz[:, 1:nz] * coftz[:, 2:nz + 1] * rdzw[1:nz] * zz[:, 1:nz] \
+        - cofwr[:, 1:nz] * cofrz[1:nz] \
+        + cofwt[:, 1:nz] * coftz[:, 2:nz + 1] * rdzw[1:nz]
+    a_tri = jnp.concatenate([jnp.zeros_like(zpad), a_mid,
+                             jnp.zeros_like(zpad)], -1)
 
-    alpha_list = [jnp.zeros_like(zpad)]
-    gamma_list = [jnp.zeros_like(zpad)]
-    for i in range(1, nz):
-        alpha_i = 1.0 / (b_tri[:, i:i+1]
-                         - a_tri[:, i:i+1] * gamma_list[i-1])
-        gamma_list.append(c_tri[:, i:i+1] * alpha_i)
-        alpha_list.append(alpha_i)
-    alpha_tri = jnp.concatenate(alpha_list + [jnp.zeros_like(zpad)], -1)
-    gamma_tri = jnp.concatenate(gamma_list + [jnp.zeros_like(zpad)], -1)
+    # LU prefactor via O(log nz) associative scan (mpas_tpu/ops/vscan.py)
+    # instead of the reference's sequential i-loop (ref :2108-2121)
+    alpha_mid, gamma_mid = thomas_prefactor(a_mid, b_mid, c_mid)
+    alpha_tri = jnp.concatenate([jnp.zeros_like(zpad), alpha_mid,
+                                 jnp.zeros_like(zpad)], -1)
+    gamma_tri = jnp.concatenate([jnp.zeros_like(zpad), gamma_mid,
+                                 jnp.zeros_like(zpad)], -1)
 
     return VertImpCoefs(cofrz=cofrz, cofwr=cofwr, cofwz=cofwz, coftz=coftz,
                         cofwt=cofwt, a_tri=a_tri, alpha_tri=alpha_tri,
@@ -650,12 +643,16 @@ class AcousticVars(NamedTuple):
 
 
 def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
-                  av: AcousticVars, small_step: int, dts,
+                  av: AcousticVars, dts,
                   theta_m, exner, w, rho_zz, rw, rw_save, ru, ru_save,
                   tend_ru, tend_rho, tend_rt, tend_rw, cqu=1.0):
     """One forward-backward acoustic substep (ref :2447-2723).
 
-    small_step is a static python int (0-based)."""
+    The reference special-cases small_step==1 (perturbation fields zeroed,
+    averages reset, no pressure gradient; ref :2506-2522).  With `av`
+    initialized to zeros at each RK stage the general branch reproduces
+    that first step exactly (the pgrad terms vanish on zero perturbations),
+    so one uniform body runs under `lax.scan` over the substeps."""
     mesh = grid.mesh
     vg = grid.vert
     nz = vg.nz
@@ -664,31 +661,22 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     epssm = cfg.config_epssm
     resm = (1.0 - epssm) / (1.0 + epssm)
 
-    if small_step > 0:
-        # horizontal momentum update with pressure gradient (ref :2480-2504)
-        zz_pair = 0.5 * (grid.zz[c1] + grid.zz[c2])
-        pgrad = ((av.rtheta_pp[c2] - av.rtheta_pp[c1])
-                 * mesh.invDcEdge[:, None]) / zz_pair
-        pgrad = cqu * 0.5 * C2 * (exner[c1] + exner[c2]) * pgrad
-        pgrad = pgrad + 0.5 * grid.zxu * gravity \
-            * (av.rho_pp[c1] + av.rho_pp[c2])
-        if not DBG["apgrad"]:
-            pgrad = pgrad * 0.0
-        ru_p = av.ru_p + dts * (tend_ru - pgrad)
-        ruAvg = av.ruAvg + ru_p
-        rtheta_pp_old = av.rtheta_pp
-        rho_pp0 = av.rho_pp
-        rtheta_pp0 = av.rtheta_pp
-        rw_p0 = av.rw_p
-        wwAvg0 = av.wwAvg
-    else:
-        ru_p = dts * tend_ru
-        ruAvg = ru_p
-        rtheta_pp_old = jnp.zeros_like(av.rtheta_pp)
-        rho_pp0 = jnp.zeros_like(av.rho_pp)
-        rtheta_pp0 = jnp.zeros_like(av.rtheta_pp)
-        rw_p0 = jnp.zeros_like(av.rw_p)
-        wwAvg0 = jnp.zeros_like(av.wwAvg)
+    # horizontal momentum update with pressure gradient (ref :2480-2504)
+    zz_pair = 0.5 * (grid.zz[c1] + grid.zz[c2])
+    pgrad = ((av.rtheta_pp[c2] - av.rtheta_pp[c1])
+             * mesh.invDcEdge[:, None]) / zz_pair
+    pgrad = cqu * 0.5 * C2 * (exner[c1] + exner[c2]) * pgrad
+    pgrad = pgrad + 0.5 * grid.zxu * gravity \
+        * (av.rho_pp[c1] + av.rho_pp[c2])
+    if not DBG["apgrad"]:
+        pgrad = pgrad * 0.0
+    ru_p = av.ru_p + dts * (tend_ru - pgrad)
+    ruAvg = av.ruAvg + ru_p
+    rtheta_pp_old = av.rtheta_pp
+    rho_pp0 = av.rho_pp
+    rtheta_pp0 = av.rtheta_pp
+    rw_p0 = av.rw_p
+    wwAvg0 = av.wwAvg
 
     # cell divergence contributions (ref :2536-2549)
     th_edge = 0.5 * (theta_m[c1] + theta_m[c2])
@@ -724,14 +712,13 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     zpadc = jnp.zeros_like(rs[:, :1])
     rw_p = jnp.concatenate([zpadc, rhs_mid, zpadc], axis=-1)
 
-    # tridiagonal sweeps (ref :2596-2604), unrolled over nz
-    cols = [rw_p[:, i:i+1] for i in range(nz + 1)]
-    for i in range(1, nz):
-        cols[i] = (cols[i] - coefs.a_tri[:, i:i+1] * cols[i-1]) \
-            * coefs.alpha_tri[:, i:i+1]
-    for i in range(nz - 1, 0, -1):
-        cols[i] = cols[i] - coefs.gamma_tri[:, i:i+1] * cols[i+1]
-    rw_p = jnp.concatenate(cols, axis=-1)
+    # tridiagonal sweeps as parallel associative scans (ref :2596-2604;
+    # boundary rows i=0 and i=nz are identity with zero RHS, so the solve
+    # runs on the interior rows only)
+    sol_mid = thomas_solve(rhs_mid, coefs.a_tri[:, 1:nz],
+                           coefs.alpha_tri[:, 1:nz],
+                           coefs.gamma_tri[:, 1:nz])
+    rw_p = jnp.concatenate([zpadc, sol_mid, zpadc], axis=-1)
 
     # implicit Rayleigh damping on w (ref :2608-2616)
     zz_int = to_interface(grid.zz, fzm, fzp)

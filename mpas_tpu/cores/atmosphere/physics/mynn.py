@@ -120,7 +120,9 @@ def mynn(u, v, th, qv, rho, z_mid, dz, sfc, qke, dt):
                          / (rho[:, 0] * cp) * h_pbl, 0.0)
     qke_sfc = B1 ** (2.0 / 3.0) * (sfc["ust"] ** 2
                                    + 0.5 * wstar3 ** (2.0 / 3.0))
-    qke_new = qke + dt * (2.0 * p_lyr - diss)
+    # d(q^2)/dt = 2(Ps+Pb) - 2 q^3/(B1 l): the factor 2 applies to BOTH
+    # production and dissipation (qke = q^2)
+    qke_new = qke + dt * 2.0 * (p_lyr - diss)
     qke_new = qke_new.at[:, 0].set(jnp.maximum(qke_sfc, QKE_MIN))
     qke_new = diffuse(jnp.maximum(qke_new, QKE_MIN), 3.0 * km,
                       jnp.zeros_like(qke_sfc))

@@ -154,29 +154,36 @@ def rrtmg_sw(qv, qc, rho, dz, mu, albedo=0.2):
     f = g_cld * g_cld
     tau_cld_s = (1.0 - 0.9994 * f) * tau_cld
 
-    f_net_tot = jnp.zeros((nC, nz + 1))
+    # cloud reflection per layer (two-stream reflectance approx) and the
+    # absorbing part of the cloud extinction (single-scatter albedo 0.9994:
+    # nearly all cloud extinction is scattering, not absorption)
+    refl = (1.0 - g_cld) * tau_cld_s / (1.0 + (1.0 - g_cld) * tau_cld_s)
+    ssa_cld = 0.9994
+    tau_cld_abs = (1.0 - ssa_cld) * tau_cld_s
+
+    heat_tot = jnp.zeros((nC, nz))
     gsw = jnp.zeros((nC,))
     for band_frac, gpts in SW_BANDS:
         for (w, k_h2o, k_o3, ray) in gpts:
             toa = _S0 * mu * band_frac * w
-            tau_gas = k_h2o * path_v + k_o3 * path_o3 + ray * path_a
-            tau = tau_gas + tau_cld_s
-            # direct-beam transmission per layer
+            # absorption vs total extinction along the beam: Rayleigh and
+            # cloud scattering deplete the direct beam but must NOT heat the
+            # layer — scattered/reflected flux exits to space
+            tau_abs = k_h2o * path_v + k_o3 * path_o3 + tau_cld_abs
+            tau = tau_abs + ray * path_a + (tau_cld_s - tau_cld_abs)
             trans = jnp.exp(-sec[:, None] * tau)
-            # cloud reflection per layer (two-stream reflectance approx)
-            refl = (1.0 - g_cld) * tau_cld_s / (
-                1.0 + (1.0 - g_cld) * tau_cld_s)
             eff_trans = trans * (1.0 - refl)
-            # cumulative from TOA (index nz-1) down to each interface
-            cums = [jnp.ones((nC,))]
-            for k in range(nz - 1, -1, -1):
-                cums.append(cums[-1] * eff_trans[:, k])
-            cum = jnp.stack(cums[::-1], axis=1)           # (nC, nz+1)
+            # cumulative transmission from TOA down to each interface:
+            # cum[:, i] = prod_{k=i..nz-1} eff_trans[:, k]  (log-cumsum form)
+            log_step = jnp.log(jnp.maximum(eff_trans, 1e-30))
+            cum_log = jnp.cumsum(log_step[:, ::-1], axis=1)[:, ::-1]
+            cum = jnp.exp(jnp.pad(cum_log, ((0, 0), (0, 1))))   # (nC, nz+1)
             f_dn = toa[:, None] * cum
-            sfc_abs = f_dn[:, 0] * (1.0 - albedo)
-            gsw = gsw + sfc_abs
-            # absorbed per layer = flux convergence of the direct beam
-            f_net_tot = f_net_tot + f_dn
-    absorbed = f_net_tot[:, 1:] - f_net_tot[:, :-1]
-    dtdt = absorbed / (rho * dz * cp)
+            gsw = gsw + f_dn[:, 0] * (1.0 - albedo)
+            # layer heating: of the extinguished beam, only the gas/cloud
+            # absorption fraction heats; reflection is a loss to space
+            f_in = f_dn[:, 1:]
+            heat_tot = heat_tot + f_in * (1.0 - trans) \
+                * tau_abs / jnp.maximum(tau, 1e-12)
+    dtdt = heat_tot / (rho * dz * cp)
     return dtdt, gsw

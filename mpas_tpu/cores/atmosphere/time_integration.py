@@ -65,12 +65,14 @@ def init_carry(grid: AtmGrid, cfg: AtmConfig, state: AtmState,
 class _NoExchange:
     """Identity exchange hooks (single shard). The distributed runner
     substitutes halo refreshes at exactly the reference's exchange points
-    (ref: the mpas_dmpar_exch_halo_field calls inside atm_srk3)."""
+    (ref: the mpas_dmpar_exch_halo_field calls inside atm_srk3). `depth`
+    mirrors the reference's haloLayers argument (layer-restricted
+    exchanges, e.g. layer 1 only inside the acoustic loop, ref :792,845)."""
 
-    def cell(self, x):
+    def cell(self, x, depth=None):
         return x
 
-    def edge(self, x):
+    def edge(self, x, depth=None):
         return x
 
 
@@ -97,6 +99,11 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
             and state1.scalars.shape[-1] < 6:
         raise ValueError("mp_wsm6 requires scalars (qv,qc,qr,qi,qs,qg); "
                          f"got {state1.scalars.shape[-1]} scalar(s)")
+    if cfg.config_microp_scheme == "mp_thompson" \
+            and state1.scalars.shape[-1] < 8:
+        raise ValueError(
+            "mp_thompson requires scalars (qv,qc,qr,qi,qs,qg,nr,ni); "
+            f"got {state1.scalars.shape[-1]} scalar(s)")
 
     order = cfg.config_time_integration_order
     ns = cfg.config_number_of_sub_steps
@@ -184,21 +191,31 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
                 ru_p=jnp.zeros_like(ru), rho_pp=jnp.zeros_like(rho2),
                 rtheta_pp=jnp.zeros_like(rho2),
                 rtheta_pp_old=jnp.zeros_like(rho2),
-                rw_p=jnp.zeros_like(rw), ruAvg=ruAvg, wwAvg=wwAvg)
-            for small in range(nsub[rk - 1]):
+                rw_p=jnp.zeros_like(rw), ruAvg=jnp.zeros_like(ru),
+                wwAvg=jnp.zeros_like(rw))
+
+            # acoustic loop as lax.scan: the body is substep-invariant (the
+            # reference's small_step==1 reset is the zero-initialized `av`),
+            # so the graph holds ONE acoustic step regardless of ns
+            def acoustic_body(av_c, _, _rk=rk):
                 # ref: rho_pp exchanged before each small step (:792),
-                # rtheta_pp after (:845)
-                av = av._replace(rho_pp=xch.cell(av.rho_pp))
+                # rtheta_pp after (:845) — layer-1 halo exchanges
+                av_c = av_c._replace(rho_pp=xch.cell(av_c.rho_pp, depth=1))
                 # the acoustic system advects theta with the time-level-1
                 # (substep-start) theta_m (ref wrapper :2320 gets level 1)
-                av = acoustic_step(
-                    grid, cfg, coefs, av, small, rk_sub[rk - 1],
+                av_c = acoustic_step(
+                    grid, cfg, coefs, av_c, rk_sub[_rk - 1],
                     th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
                     tend_u, tend_rho, tend_theta, tend_rw,
                     cqu=cqu if moist else 1.0)
-                av = av._replace(rtheta_pp=xch.cell(av.rtheta_pp))
-                av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
-                                           th_save)
+                av_c = av_c._replace(
+                    rtheta_pp=xch.cell(av_c.rtheta_pp, depth=1))
+                av_c = divergence_damping_3d(grid, cfg, av_c,
+                                             rk_sub[_rk - 1], th_save)
+                return av_c, None
+
+            av, _ = jax.lax.scan(acoustic_body, av, None,
+                                 length=nsub[rk - 1])
             # ref: rw_p/ru_p/rho_pp/rtheta_pp exchanged before recover
             # (:873-887)
             av = av._replace(rw_p=xch.cell(av.rw_p),

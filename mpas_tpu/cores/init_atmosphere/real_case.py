@@ -146,23 +146,19 @@ def init_real(mesh, cfg: AtmConfig, met_fields, zt: float = 30000.0,
 
     # ---- hydrostatic balance (ref :2277-2301 genre, on theta_m) -----------
     def pi_columns(theta):
-        th_m = theta.mean(axis=0)
-        zz_m = zz.mean(axis=0)
-        pitop = (psfc.mean() / p0) ** (rgas / cp) \
-            - 0.5 * dzw[0] * gravity / (cp * th_m[0] * zz_m[0])
-        for k in range(1, nz1):
-            th_i = vg.fzm[k] * th_m[k] + vg.fzp[k] * th_m[k - 1]
-            zz_i = vg.fzm[k] * zz_m[k] + vg.fzp[k] * zz_m[k - 1]
-            pitop = pitop - dzu[k] * gravity / (cp * th_i * zz_i)
-        pitop = pitop - 0.5 * dzw[nz1 - 1] * gravity \
-            / (cp * th_m[nz1 - 1] * zz_m[nz1 - 1])
+        """Integrate exner hydrostatically UPWARD per column from each
+        column's own interpolated surface pressure, so the horizontal PSFC
+        structure (cyclones, terrain anomalies) constrains the 3-D mass
+        field — as the reference GFS case balances each column against its
+        own surface pressure (ref: mpas_init_atm_cases.F:2526+ genre)."""
         pi = np.zeros((nC, nz1))
-        pi[:, nz1 - 1] = pitop + 0.5 * dzw[nz1 - 1] * gravity \
-            / (cp * theta[:, nz1 - 1] * zz[:, nz1 - 1])
-        for k in range(nz1 - 2, -1, -1):
-            pi[:, k] = pi[:, k + 1] + dzu[k + 1] * gravity \
-                / (cp * 0.5 * (theta[:, k] + theta[:, k + 1])
-                   * 0.5 * (zz[:, k] + zz[:, k + 1]))
+        pi_sfc = (psfc / p0) ** (rgas / cp)
+        pi[:, 0] = pi_sfc - 0.5 * dzw[0] * gravity \
+            / (cp * theta[:, 0] * zz[:, 0])
+        for k in range(1, nz1):
+            pi[:, k] = pi[:, k - 1] - dzu[k] * gravity \
+                / (cp * 0.5 * (theta[:, k - 1] + theta[:, k])
+                   * 0.5 * (zz[:, k - 1] + zz[:, k]))
         return pi
 
     # base state: dry isothermal-lapse reference column (t_init genre)

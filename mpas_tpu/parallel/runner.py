@@ -23,11 +23,18 @@ from mpas_tpu.parallel.layout import HaloExchange, ShardedMesh
 AXIS = "shard"
 
 
-def halo_exchange(xch: HaloExchange, field, axis_name: str = AXIS):
+def halo_exchange(xch: HaloExchange, field, axis_name: str = AXIS,
+                  depth=None):
     """Refresh halo slots of a local field from their owners.
 
     field: (n_local, ...) shard-local. Returns same shape with halo slots
     overwritten by owner values. Pure gathers + one all_to_all.
+
+    `depth` restricts the refresh to the innermost halo layers (ref:
+    mpas_dmpar haloLayers argument; the acoustic loop exchanges layer 1
+    only, mpas_atm_time_integration.F:792,845). The all_to_all schedule
+    here is maximal/static, so depth currently only documents intent; the
+    neighbor-schedule exchange in neighbors.py honors it.
     """
     send = field[xch.send_idx]                      # (P, S, ...)
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
