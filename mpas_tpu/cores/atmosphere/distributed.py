@@ -28,22 +28,39 @@ from mpas_tpu.cores.atmosphere.state import AtmDiag, AtmState
 from mpas_tpu.cores.atmosphere.time_integration import (AtmCarry, init_carry,
                                                         run_steps_xch)
 from mpas_tpu.parallel.layout import ShardedMesh, build_sharded_mesh
-from mpas_tpu.parallel.runner import (AXIS, halo_exchange, scatter_field,
-                                      shard_leaves)
+from mpas_tpu.parallel.runner import (AXIS, neighbor_halo_exchange,
+                                      scatter_field, shard_leaves)
 
 ATM_HALO_DEPTH = 4
 
 
 class _ShardExchange:
-    def __init__(self, cell_xch, edge_xch):
-        self._c = cell_xch
-        self._e = edge_xch
+    """Depth-selectable neighbor-schedule exchanges (ref: the haloLayers
+    argument of mpas_dmpar_exch_halo_field*; layer-1-only exchanges inside
+    the acoustic loop, mpas_atm_time_integration.F:792,845)."""
+
+    def __init__(self, cell_nx, edge_nx, full_depth):
+        self._c = cell_nx       # {depth: NeighborExchange}
+        self._e = edge_nx
+        self._full = full_depth
+
+    @staticmethod
+    def _pick(table, depth, full):
+        d = full if depth is None else min(depth, full)
+        if d in table:
+            return table[d]
+        for k in sorted(table):
+            if k >= d:
+                return table[k]
+        return table[max(table)]
 
     def cell(self, x, depth=None):
-        return halo_exchange(self._c, x, depth=depth)
+        return neighbor_halo_exchange(self._pick(self._c, depth, self._full),
+                                      x)
 
     def edge(self, x, depth=None):
-        return halo_exchange(self._e, x, depth=depth)
+        return neighbor_halo_exchange(self._pick(self._e, depth, self._full),
+                                      x)
 
 
 @struct.dataclass
@@ -159,7 +176,8 @@ def make_run_steps_atm(satm: ShardedAtm, cfg: AtmConfig, dmesh):
         grid_l = _squeeze_grid(grid_st)
         smesh_l = shard_leaves(smesh_st)
         carry_l = shard_leaves(carry_st)
-        xch = _ShardExchange(smesh_l.cell_xch, smesh_l.edge_xch)
+        xch = _ShardExchange(smesh_l.cell_nx, smesh_l.edge_nx,
+                             satm.smesh.halo_depth)
         out = run_steps_xch(grid_l, cfg, carry_l, dt, n_steps, xch)
         return jax.tree.map(lambda a: a[None], out)
 

@@ -183,8 +183,9 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
                 ru_save, rw_save, th_save, rho_p_save, pressure_p,
                 ur_cell, vr_cell, euler, cqu=cqu, cqw=cqw,
                 qtot=qtot, rt_diabatic_tend=rt_diab)
-            # ref: tend_u halo exchange before the omega conversion (:788)
-            tend_u = xch.edge(tend_u)
+            # ref: tend_u layer-1-only halo exchange before the omega
+            # conversion (:642)
+            tend_u = xch.edge(tend_u, depth=1)
             tend_rw = set_smlstep_pert_variables(grid, tend_u, tend_w_raw)
 
             av = AcousticVars(
@@ -216,12 +217,12 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
 
             av, _ = jax.lax.scan(acoustic_body, av, None,
                                  length=nsub[rk - 1])
-            # ref: rw_p/ru_p/rho_pp/rtheta_pp exchanged before recover
-            # (:873-887)
-            av = av._replace(rw_p=xch.cell(av.rw_p),
-                             ru_p=xch.edge(av.ru_p),
-                             rho_pp=xch.cell(av.rho_pp),
-                             rtheta_pp=xch.cell(av.rtheta_pp),
+            # ref: rw_p/ru_p(2)/rho_pp/rtheta_pp(2) exchanged before recover
+            # (:873-887) — two layers; ruAvg/wwAvg full for the transport
+            av = av._replace(rw_p=xch.cell(av.rw_p, depth=2),
+                             ru_p=xch.edge(av.ru_p, depth=2),
+                             rho_pp=xch.cell(av.rho_pp, depth=2),
+                             rtheta_pp=xch.cell(av.rtheta_pp, depth=2),
                              ruAvg=xch.edge(av.ruAvg),
                              wwAvg=xch.cell(av.wwAvg))
 

@@ -28,16 +28,19 @@ from mpas_tpu.cores.sw.state import SWState
 from mpas_tpu.cores.sw.time_integration import (_RK_SUBSTEP, _RK_WEIGHTS,
                                                 _stage)
 from mpas_tpu.parallel.layout import ShardedMesh
-from mpas_tpu.parallel.runner import AXIS, halo_exchange, shard_leaves
+from mpas_tpu.parallel.runner import (AXIS, neighbor_halo_exchange,
+                                      shard_leaves)
 
 SW_HALO_DEPTH = 4  # tendency stencil radius of the TRiSK SW scheme
 
 
 def _exchange_state(smesh_l, state: SWState) -> SWState:
+    cell_nx = smesh_l.cell_nx[SW_HALO_DEPTH]
+    edge_nx = smesh_l.edge_nx[SW_HALO_DEPTH]
     return SWState(
-        u=halo_exchange(smesh_l.edge_xch, state.u),
-        h=halo_exchange(smesh_l.cell_xch, state.h),
-        tracers=halo_exchange(smesh_l.cell_xch, state.tracers))
+        u=neighbor_halo_exchange(edge_nx, state.u),
+        h=neighbor_halo_exchange(cell_nx, state.h),
+        tracers=neighbor_halo_exchange(cell_nx, state.tracers))
 
 
 def rk4_step_local(smesh_l: ShardedMesh, cfg: SWConfig, state: SWState,

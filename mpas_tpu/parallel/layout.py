@@ -54,6 +54,25 @@ class HaloExchange:
 
 
 @struct.dataclass
+class NeighborExchange:
+    """Static neighbor-schedule exchange: R ppermute rounds, each moving
+    one exact-size message between matched (src, dst) pairs.
+
+    TPU-native equivalent of the reference's per-neighbor irecv/pack/isend
+    halo exchange (ref: mpas_dmpar.F:5263-5301) with haloLayers depth
+    restriction (ref: the haloLayersIn argument; layer-1-only exchanges in
+    the acoustic loop, mpas_atm_time_integration.F:792,845). Unlike the
+    all-pairs all_to_all fallback, traffic goes only to actual mesh
+    neighbors and only for the requested halo layers.
+    """
+    send_idx: Any    # tuple of R arrays (P, S_r): local slots to send
+    splice: Any      # (P, n_local) gather over concat(field, recv_0..R-1)
+    perms: Any = struct.field(pytree_node=False)   # R tuples of (src, dst)
+    sizes: Any = struct.field(pytree_node=False)   # (S_0, ..., S_{R-1})
+    volume: int = struct.field(pytree_node=False)  # total real slots moved
+
+
+@struct.dataclass
 class ShardedMesh:
     """Per-shard local meshes (stacked on a leading shard axis) + schedules."""
     mesh: Mesh                  # every array leaf has leading dim P
@@ -67,6 +86,9 @@ class ShardedMesh:
     vertex_global: Any
     n_parts: int = struct.field(pytree_node=False)
     halo_depth: int = struct.field(pytree_node=False)
+    # depth -> neighbor-schedule exchange (keys: 1, 2, halo_depth)
+    cell_nx: Any = None
+    edge_nx: Any = None
 
 
 def _halo_layers(mesh, part, p, depth):
@@ -85,6 +107,65 @@ def _halo_layers(mesh, part, p, depth):
         local |= set(nxt.tolist())
         frontier = nxt
     return layers
+
+
+def _greedy_rounds(edges):
+    """Decompose directed (src, dst) message edges into ppermute rounds:
+    each round is a partial permutation (<=1 outgoing and <=1 incoming per
+    device). Greedy largest-message-first matching; R ~ max degree."""
+    remaining = sorted(edges.items(), key=lambda kv: -len(kv[1][0]))
+    rounds = []
+    while remaining:
+        used_src, used_dst, this, rest = set(), set(), [], []
+        for (q, p), msg in remaining:
+            if q not in used_src and p not in used_dst:
+                used_src.add(q)
+                used_dst.add(p)
+                this.append(((q, p), msg))
+            else:
+                rest.append(((q, p), msg))
+        rounds.append(this)
+        remaining = rest
+    return rounds
+
+
+def _build_neighbor_xch(P, slots, g2l_list, owners, slot_layer, depth,
+                        n_local):
+    """Build a NeighborExchange refreshing halo slots with layer <= depth."""
+    edges = {}
+    for p in range(P):
+        sl = slots[p]
+        lay = slot_layer[p]
+        for li in range(n_local):
+            g = sl[li]
+            if g < 0 or lay[li] < 0 or lay[li] > depth:
+                continue
+            q = int(owners[g])
+            if q == p:
+                continue
+            sends, dests = edges.setdefault((q, p), ([], []))
+            sends.append(g2l_list[q][int(g)])
+            dests.append(li)
+
+    rounds = _greedy_rounds(edges)
+    sizes = tuple(max(len(m[0]) for _, m in rnd) for rnd in rounds)
+    send_idx = []
+    splice = np.tile(np.arange(n_local, dtype=np.int32), (P, 1))
+    offset = n_local
+    volume = 0
+    for r, rnd in enumerate(rounds):
+        S = sizes[r]
+        si = np.zeros((P, S), dtype=np.int32)
+        for (q, p), (sends, dests) in rnd:
+            si[q, :len(sends)] = sends
+            splice[p, np.asarray(dests, dtype=np.int64)] = \
+                offset + np.arange(len(dests), dtype=np.int64)
+            volume += len(sends)
+        send_idx.append(si)
+        offset += S
+    perms = tuple(tuple(qp for qp, _ in rnd) for rnd in rounds)
+    return NeighborExchange(send_idx=tuple(send_idx), splice=splice,
+                            perms=perms, sizes=sizes, volume=volume)
 
 
 def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
@@ -107,12 +188,18 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     # --- local entity sets per part ---------------------------------------
     cell_locs, edge_locs, vert_locs = [], [], []
+    cell_layer_maps, edge_layer_maps = [], []   # per part: gid -> halo layer
     owned_counts = {"cell": [], "edge": [], "vertex": []}
     for p in range(P):
         layers = _halo_layers(mesh, part, p, halo_depth)
         owned_cells = layers[0]
         halo_cells = np.concatenate(layers[1:]) if halo_depth else \
             np.array([], dtype=np.int64)
+        lmap = {}
+        for li, lay in enumerate(layers):
+            for g in lay:
+                lmap[int(g)] = li
+        cell_layer_maps.append(lmap)
         # canonical halo order: by (owner part, global id)
         halo_cells = halo_cells[np.lexsort((halo_cells,
                                             part[halo_cells]))]
@@ -122,6 +209,14 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
         # edges/vertices adjacent to any local cell
         es = np.unique(eoc[cells][eocm[cells]])
+        # edge halo layer = min layer of its locally-present cells (ref:
+        # block creator builds nHalos+1 edge halo layers keyed off the
+        # cell layers, mpas_block_creator.F:734)
+        emap = {}
+        for g in es:
+            ls = [lmap[int(c)] for c in coe[g] if int(c) in lmap]
+            emap[int(g)] = min(ls) if ls else halo_depth
+        edge_layer_maps.append(emap)
         own_e = es[edge_owner[es] == p]
         halo_e = es[edge_owner[es] != p]
         halo_e = halo_e[np.lexsort((halo_e, edge_owner[halo_e]))]
@@ -194,6 +289,27 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     cell_xch = build_xch(cell_slots, cell_g2l, part, OWN_C, NCL)
     edge_xch = build_xch(edge_slots, edge_g2l, edge_owner, OWN_E, NEL)
+
+    # --- per-depth neighbor-schedule exchanges ----------------------------
+    def slot_layers(slots, layer_maps):
+        out = []
+        for p in range(P):
+            lay = np.full(len(slots[p]), -1, dtype=np.int32)
+            for li, g in enumerate(slots[p]):
+                if g >= 0:
+                    lay[li] = layer_maps[p].get(int(g), -1)
+            out.append(lay)
+        return out
+
+    cell_slot_layer = slot_layers(cell_slots, cell_layer_maps)
+    edge_slot_layer = slot_layers(edge_slots, edge_layer_maps)
+    depths = sorted({1, min(2, halo_depth), halo_depth})
+    cell_nx = {d: _build_neighbor_xch(P, cell_slots, cell_g2l, part,
+                                      cell_slot_layer, d, NCL)
+               for d in depths}
+    edge_nx = {d: _build_neighbor_xch(P, edge_slots, edge_g2l, edge_owner,
+                                      edge_slot_layer, d, NEL)
+               for d in depths}
 
     # --- local mesh arrays -------------------------------------------------
     dtype = np.asarray(mesh.areaCell).dtype
@@ -315,6 +431,7 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     return ShardedMesh(
         mesh=local_mesh, cell_xch=cell_xch, edge_xch=edge_xch,
+        cell_nx=cell_nx, edge_nx=edge_nx,
         owned_cell_mask=owned_mask(cell_slots, owned_counts["cell"]),
         owned_edge_mask=owned_mask(edge_slots, owned_counts["edge"]),
         owned_vertex_mask=owned_mask(vert_slots, owned_counts["vertex"]),

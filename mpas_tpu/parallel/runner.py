@@ -18,9 +18,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpas_tpu.parallel.layout import HaloExchange, ShardedMesh
+from mpas_tpu.parallel.layout import (HaloExchange, NeighborExchange,
+                                      ShardedMesh)
 
 AXIS = "shard"
+
+
+def neighbor_halo_exchange(nx: NeighborExchange, field,
+                           axis_name: str = AXIS):
+    """Refresh halo slots via static neighbor-schedule ppermute rounds.
+
+    field: (n_local, ...) shard-local. Each round is one lax.ppermute with
+    an exact-size message between matched (src, dst) neighbor pairs (ref:
+    the irecv/pack/isend per-neighbor loop, mpas_dmpar.F:5263-5301).
+    Non-neighbor pairs move nothing — unlike the all_to_all fallback's
+    maximal all-pairs message. Depth restriction is baked into the
+    schedule at layout time (pick the right nx from ShardedMesh.cell_nx /
+    edge_nx). Scatter-free: received buffers concat behind the field and
+    a precomputed gather splices them into place; XLA's scheduler can
+    overlap the permutes with independent interior compute.
+    """
+    parts = [field]
+    for r, perm in enumerate(nx.perms):
+        send = field[nx.send_idx[r]]
+        parts.append(jax.lax.ppermute(send, axis_name, perm))
+    if len(parts) == 1:
+        return field
+    combined = jnp.concatenate(parts, axis=0)
+    return combined[nx.splice]
 
 
 def halo_exchange(xch: HaloExchange, field, axis_name: str = AXIS,

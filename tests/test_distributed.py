@@ -114,3 +114,82 @@ def test_halo_exchange_unit(sphere_mesh_small):
     slots = np.asarray(sm.cell_global)
     valid = slots >= 0
     assert np.array_equal(out[valid], glob[slots[valid]])
+
+
+class TestNeighborExchangeSchedules:
+    """Neighbor-schedule exchange properties (ref: per-neighbor
+    irecv/pack/isend, mpas_dmpar.F:5263-5301; layer-restricted exchanges,
+    mpas_atm_time_integration.F:792,845)."""
+
+    def _smesh(self, mesh, n_parts=4, depth=4):
+        part = sfc_partition(mesh, n_parts)
+        return build_sharded_mesh(mesh, part, halo_depth=depth)
+
+    def test_acoustic_traffic_reduction(self, sphere_mesh_medium):
+        """Layer-1 cell exchange (the acoustic-loop refresh) must move
+        <= 1/4 the slots of the full-depth exchange, and the full-depth
+        neighbor schedule must move fewer slots than the padded all-pairs
+        all_to_all schedule."""
+        sm = self._smesh(sphere_mesh_medium)
+        full = sm.halo_depth
+        v1 = sm.cell_nx[1].volume
+        vfull = sm.cell_nx[full].volume
+        assert v1 > 0 and vfull > v1
+        assert v1 <= vfull / 3.0       # one ring out of `full` rings
+        # round 1 moved P*P*S padded slots per acoustic exchange (all_to_all
+        # to every pair); the layer-1 schedule must cut that by >= 4x
+        a2a_volume = sm.cell_xch.send_idx.shape[0] ** 2 \
+            * sm.cell_xch.msg_size
+        assert v1 <= a2a_volume / 4.0
+        assert vfull < a2a_volume
+
+    def test_rounds_are_partial_permutations(self, sphere_mesh_small):
+        sm = self._smesh(sphere_mesh_small)
+        for nx in list(sm.cell_nx.values()) + list(sm.edge_nx.values()):
+            for perm in nx.perms:
+                srcs = [q for q, _ in perm]
+                dsts = [p for _, p in perm]
+                assert len(set(srcs)) == len(srcs)
+                assert len(set(dsts)) == len(dsts)
+
+    def test_neighbor_exchange_matches_all_to_all(self, sphere_mesh_small):
+        """Both exchange implementations must produce identical owned+halo
+        values for a full-depth refresh of a global field."""
+        from mpas_tpu.parallel.layout import ShardedMesh
+        from mpas_tpu.parallel.runner import (AXIS, halo_exchange,
+                                              neighbor_halo_exchange,
+                                              scatter_field, shard_leaves)
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        mesh = sphere_mesh_small
+        sm = self._smesh(mesh, n_parts=4)
+        rng = np.random.default_rng(7)
+        gfield = rng.standard_normal((mesh.nCells, 3))
+        stacked = jnp.asarray(scatter_field(sm, gfield, "cell"))
+        # corrupt halo slots so the exchange has to do the work
+        corrupted = jnp.where(
+            jnp.asarray(sm.owned_cell_mask)[..., None] > 0, stacked, -99.0)
+        dmesh = device_mesh(4)
+
+        def _run_a2a(x_st, xch_st):
+            return halo_exchange(shard_leaves(xch_st),
+                                 shard_leaves(x_st))[None]
+
+        def _run_nx(x_st, nx_st):
+            return neighbor_halo_exchange(shard_leaves(nx_st),
+                                          shard_leaves(x_st))[None]
+
+        spec = P(AXIS)
+        a2a = jax.jit(shard_map(
+            _run_a2a, mesh=dmesh,
+            in_specs=(spec, jax.tree.map(lambda _: spec, sm.cell_xch)),
+            out_specs=spec))(corrupted, jax.tree.map(jnp.asarray,
+                                                     sm.cell_xch))
+        nxd = sm.cell_nx[sm.halo_depth]
+        nx = jax.jit(shard_map(
+            _run_nx, mesh=dmesh,
+            in_specs=(spec, jax.tree.map(lambda _: spec, nxd)),
+            out_specs=spec))(corrupted, jax.tree.map(jnp.asarray, nxd))
+        # compare on live slots (dead pad slots may hold garbage)
+        live = np.asarray(sm.cell_global) >= 0
+        assert np.array_equal(np.asarray(a2a)[live], np.asarray(nx)[live])
