@@ -49,3 +49,33 @@ def sphere_mesh_medium():
     if "sphere_medium" not in _CACHE:
         _CACHE["sphere_medium"] = icosahedral_mesh(16, lloyd_iters=2)
     return _CACHE["sphere_medium"]
+
+
+# ---------------------------------------------------------------------------
+# test tiers: `pytest -m "not slow"` is the <2-minute smoke tier; the full
+# suite (~20 min) is CI's job. Step-heavy end-to-end tests are auto-marked
+# slow by file; fast representatives are kept out of the list explicitly.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_atm_core.py", "test_atm_distributed.py", "test_atm_mtn_wave.py",
+    "test_atm_physics.py", "test_atm_physics_suite.py",
+    "test_atm_scheme_variants.py", "test_atm_noah_rrtmg.py",
+    "test_atm_regional.py", "test_atm_diagnostics.py", "test_driver.py",
+    "test_init_real.py", "test_init_atmosphere.py",
+    "test_seaice_thermo.py", "test_seaice_forcing.py",
+    "test_seaice_remap.py", "test_seaice_core.py",
+    "test_ocean_core.py", "test_ocean_init_configs.py",
+    "test_ocean_forcing.py", "test_ocean_gm.py", "test_ocean_kpp.py",
+    "test_ocean_tracer_extras.py", "test_ocean_particles.py",
+    "test_ocean_analysis.py", "test_ocean_vmix_eos.py",
+    "test_landice_core.py", "test_landice_enthalpy_ir.py",
+    "test_landice_external.py", "test_landice_hydro.py",
+    "test_rbf.py", "test_parity_dycore.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
