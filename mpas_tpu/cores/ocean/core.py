@@ -122,8 +122,27 @@ class OcnGrid:
     mesh: Mesh
     restingThickness: Any   # (nCells, nz)
     bottomDepth: Any        # (nCells,)
-    maxLevelCell: Any       # (nCells,) int (full columns here)
+    maxLevelCell: Any       # (nCells,) int
     nz: int = struct.field(pytree_node=False)
+    # variable-bathymetry level masks (None = full columns everywhere).
+    # cellMask[c,k] = 1 for k < maxLevelCell[c]; edgeMask[e,k] = 1 for
+    # k < maxLevelEdgeTop[e] = min(maxLevelCell of the two cells) — the
+    # reference's maxLevelEdgeTop loop bounds (ref: ocn_init_routines /
+    # the k-loop bounds throughout mpas_ocn_tendency.F). Dead levels carry
+    # an epsilon thickness and are excluded from every flux.
+    cellMask: Any = None    # (nCells, nz)
+    edgeMask: Any = None    # (nEdges, nz)
+
+
+def build_level_masks(mesh, maxLevelCell, nz, dtype=np.float64):
+    """(cellMask, edgeMask) from maxLevelCell (host-side, numpy)."""
+    mlc = np.asarray(maxLevelCell)
+    k = np.arange(nz)
+    cell_mask = (k[None, :] < mlc[:, None]).astype(dtype)
+    coe = np.asarray(mesh.cellsOnEdge)
+    mle = np.minimum(mlc[coe[:, 0]], mlc[coe[:, 1]])
+    edge_mask = (k[None, :] < mle[:, None]).astype(dtype)
+    return cell_mask, edge_mask
 
 
 def equation_of_state_linear(cfg: OcnConfig, T, S):
@@ -147,8 +166,12 @@ def _ale_thickness_tend(grid: OcnGrid, div_hu):
     resting-thickness weights, return (tend_h, w_top).
     ref: ocn_ale_thickness (mpas_ocn_thick_ale.F) + vertical transport."""
     total_div = jnp.sum(div_hu, axis=-1, keepdims=True)
-    wgt = grid.restingThickness \
-        / jnp.sum(grid.restingThickness, axis=-1, keepdims=True)
+    resting = grid.restingThickness
+    if grid.cellMask is not None:
+        # dead levels get exactly zero weight, or column volume leaks
+        # through their epsilon resting thickness
+        resting = resting * grid.cellMask
+    wgt = resting / jnp.sum(resting, axis=-1, keepdims=True)
     tend_h = -wgt * total_div
     # continuity per layer: dh/dt = -div_hu - (w_top[k] - w_top[k+1])
     # solve upward from the bottom (w_top[:, nz] = 0)
@@ -216,7 +239,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
          jnp.zeros_like(u[:, :1])], axis=1)
     flux_u = w_edge * u_int
     dw = w_edge[:, :-1] - w_edge[:, 1:]
-    tend_u = tend_u - (flux_u[:, :-1] - flux_u[:, 1:] - u * dw) / h_edge
+    tend_u = tend_u - (flux_u[:, :-1] - flux_u[:, 1:] - u * dw) \
+        / jnp.maximum(h_edge, 1e-12)
 
     # del2 mixing (ref: ocn_vel_hmix_del2)
     if cfg.config_mom_del2 > 0.0:
@@ -227,6 +251,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
             * mesh.invDvEdge[:, None])
     if cfg.config_rayleigh_friction > 0.0:
         tend_u = tend_u - cfg.config_rayleigh_friction * u
+    if grid.edgeMask is not None:       # no tendency below the bathymetry
+        not_bnd = not_bnd * grid.edgeMask
     return tend_u * not_bnd
 
 
@@ -250,6 +276,8 @@ def tracer_tendency(grid: OcnGrid, cfg: OcnConfig, uh, w_top, h, tr):
     tend_hT = tend_hT - (fv[:, :-1] - fv[:, 1:])
     if cfg.config_tracer_del2 > 0.0:
         gt = (tr[c2] - tr[c1]) * (mesh.invDcEdge * not_bnd)[:, None, None]
+        if grid.edgeMask is not None:
+            gt = gt * grid.edgeMask[..., None]
         hflux = h_edge[..., None] * gt
         tend_hT = tend_hT + cfg.config_tracer_del2 * jnp.sum(
             mesh.edgeSignOnCell[..., None, None]
@@ -282,6 +310,8 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
         rho = equation_of_state(cfg, tr[..., 0], tr[..., 1])
         u_trans = u + bolus_velocity(grid, cfg, rho, h)
     uh = u_trans * h_edge
+    if grid.edgeMask is not None:       # no flux through the bathymetry
+        uh = uh * grid.edgeMask
     _, tend_h, w_top = thickness_tendency(grid, uh)
     tend_u = vel_tendency(grid, cfg, u, h, tr, w_top, dt, planetary=True)
     tend_hT = tracer_tendency(grid, cfg, uh, w_top, h, tr)
@@ -324,28 +354,45 @@ def implicit_vertical_mix(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
         vert_diff = vert_diff + redi_vertical_enhancement(
             grid, cfg, rho, state.layerThickness)
 
-    def solve(field, h_field, kappa, bottom_drag=0.0):
-        # interface diffusivity flux: kappa/dz_int between layers
-        hi = 0.5 * (h_field[..., 1:] + h_field[..., :-1])
+    def solve(field, h_field, kappa, bottom_drag=0.0, mask=None):
+        # interface diffusivity flux: kappa/dz_int between layers; dead
+        # interfaces (below maxLevel) carry zero mixing so the bottom
+        # boundary is a no-flux wall wherever the bathymetry sits
+        hi = jnp.maximum(0.5 * (h_field[..., 1:] + h_field[..., :-1]),
+                         1e-12)
+        if mask is not None:
+            kappa = kappa * mask[..., 1:]
         g = dt * kappa / hi
         zero = jnp.zeros_like(h_field[..., :1])
         gu = jnp.concatenate([zero, g], axis=-1)       # above-interface coef
         gl = jnp.concatenate([g, zero], axis=-1)       # below-interface coef
-        a = -gu / h_field
-        c = -gl / h_field
+        h_safe = jnp.maximum(h_field, 1e-12)
+        a = -gu / h_safe
+        c = -gl / h_safe
         b = 1.0 - a - c
         if bottom_drag > 0.0:
-            # quadratic bottom drag, linearized (ref: ocn_vel_forcing_bottomdrag)
-            spd = jnp.abs(field[..., -1])
-            b = b.at[..., -1].add(dt * bottom_drag * spd / h_field[..., -1])
+            # quadratic bottom drag, linearized (ref:
+            # ocn_vel_forcing_bottomdrag) at the TRUE bottom layer: the
+            # last live level of each column, not index nz-1
+            if mask is None:
+                spd = jnp.abs(field[..., -1])
+                b = b.at[..., -1].add(dt * bottom_drag * spd
+                                      / h_safe[..., -1])
+            else:
+                below = jnp.concatenate([mask[..., 1:], zero], axis=-1)
+                bottom = mask * (1.0 - below)          # one-hot bottom level
+                spd_b = jnp.sum(jnp.abs(field) * bottom, axis=-1,
+                                keepdims=True)
+                b = b + bottom * dt * bottom_drag * spd_b / h_safe
         return tridiagonal_solve(a, b, c, field)
 
     h_edge = 0.5 * (state.layerThickness[c1] + state.layerThickness[c2])
     u_new = solve(state.u, h_edge, vert_visc,
-                  cfg.config_bottom_drag_coeff)
+                  cfg.config_bottom_drag_coeff, mask=grid.edgeMask)
     tr_new = jnp.stack(
         [solve(state.tracers[..., i], state.layerThickness,
-               vert_diff) for i in range(state.tracers.shape[-1])],
+               vert_diff, mask=grid.cellMask)
+         for i in range(state.tracers.shape[-1])],
         axis=-1)
     return state.replace(u=u_new * (1.0 - mesh.boundaryEdge)[:, None],
                          tracers=tr_new)
@@ -506,6 +553,8 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
             u_transport = u_transport + bolus_velocity(grid, cfg, rho_gm,
                                                        h_st)
         uh = u_transport * h_edge
+        if grid.edgeMask is not None:
+            uh = uh * grid.edgeMask
         _, tend_h, w_top = thickness_tendency(grid, uh)
         tend_hT = tracer_tendency(grid, cfg, uh, w_top, h_st, tr_new)
         w_for_tend = w_top

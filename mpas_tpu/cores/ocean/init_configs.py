@@ -133,3 +133,271 @@ def init_cosine_bell(mesh: Mesh, nz: int = 3, dtype=np.float64):
                      layerThickness=h0.astype(dtype),
                      tracers=tracers.astype(dtype))
     return grid, state
+
+
+# ---------------------------------------------------------------------------
+# variable-bathymetry helpers (partial bottom cells + level masks)
+# ---------------------------------------------------------------------------
+
+def _pbc_grid(mesh, nz, bottom_depth_cell, max_depth, dtype, coriolis=None,
+              min_pbc_fraction=0.25):
+    """z-level grid with partial bottom cells over variable bathymetry
+    (ref: ocn_init_vertical_grids + the config_min_pbc_fraction treatment
+    in mpas_ocn_init_* configs): uniform refBottomDepth, maxLevelCell from
+    the local depth, bottom layer partial, dead levels at epsilon
+    thickness and excluded by the level masks."""
+    from mpas_tpu.cores.ocean.core import build_level_masks
+    nC = mesh.nCells
+    dz = max_depth / nz
+    depth = np.clip(np.asarray(bottom_depth_cell, dtype=np.float64),
+                    2.0 * dz, max_depth)
+    mlc = np.minimum(np.ceil(depth / dz - 1e-9).astype(np.int64), nz)
+    mlc = np.maximum(mlc, 2)
+    k = np.arange(nz)
+    h0 = np.full((nC, nz), dz)
+    # partial bottom layer (at least min_pbc_fraction of dz)
+    bottom_partial = np.maximum(depth - (mlc - 1) * dz,
+                                min_pbc_fraction * dz)
+    h0[k[None, :] == (mlc - 1)[:, None]] = 0.0
+    h0 = np.where(k[None, :] == (mlc - 1)[:, None],
+                  bottom_partial[:, None], h0)
+    eps = 1e-3 * dz
+    h0 = np.where(k[None, :] >= mlc[:, None], eps, h0)
+    depth_actual = np.sum(np.where(k[None, :] < mlc[:, None], h0, 0.0), -1)
+
+    dtypec = np.asarray(mesh.areaCell).dtype
+    if coriolis is not None:
+        mesh = mesh.replace(
+            fEdge=np.asarray(coriolis(np.asarray(mesh.yEdge),
+                                      np.asarray(mesh.latEdge)),
+                             dtype=dtypec),
+            fVertex=np.asarray(coriolis(np.asarray(mesh.yVertex),
+                                        np.asarray(mesh.latVertex)),
+                               dtype=dtypec),
+            fCell=np.asarray(coriolis(np.asarray(mesh.yCell),
+                                      np.asarray(mesh.latCell)),
+                             dtype=dtypec))
+    cmask, emask = build_level_masks(mesh, mlc, nz, dtype)
+    grid = OcnGrid(mesh=mesh, restingThickness=h0.astype(dtype),
+                   bottomDepth=depth_actual.astype(dtype),
+                   maxLevelCell=mlc.astype(np.int32), nz=nz,
+                   cellMask=cmask, edgeMask=emask)
+    return grid, h0
+
+
+def _state(mesh, nz, h0, tracers, dtype, u=None):
+    if u is None:
+        u = np.zeros((mesh.nEdges, nz))
+    return OcnState(ubtr=np.zeros(mesh.nEdges, dtype=dtype),
+                    u=np.asarray(u, dtype=dtype),
+                    layerThickness=np.asarray(h0, dtype=dtype),
+                    tracers=np.asarray(tracers, dtype=dtype))
+
+
+def init_lock_exchange(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """Dam-break / lock exchange (ref: mpas_ocn_init_lock_exchange.F):
+    cold dense water in the left half of a flat-bottomed box, warm in the
+    right; fronts propagate as gravity currents."""
+    bottom_depth = 20.0
+    nC = mesh.nCells
+    x = np.asarray(mesh.xCell)
+    grid, h0 = _uniform_grid(mesh, nz, bottom_depth, dtype)
+    x_mid = 0.5 * (x.min() + x.max())
+    T = np.where(x[:, None] < x_mid, 5.0, 30.0) * np.ones((1, nz))
+    S = np.full((nC, nz), 35.0)
+    return grid, _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+
+
+def init_sea_mount(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """Stratified resting state over a Gaussian seamount (ref:
+    mpas_ocn_init_sea_mount.F): the classic pressure-gradient-error test —
+    a perfectly balanced state must stay at rest over steep topography."""
+    max_depth = 5000.0
+    nC = mesh.nCells
+    x, y = np.asarray(mesh.xCell), np.asarray(mesh.yCell)
+    x0, y0 = 0.5 * (x.min() + x.max()), 0.5 * (y.min() + y.max())
+    width = 0.15 * (x.max() - x.min())
+    depth = max_depth - 0.9 * max_depth * np.exp(
+        -((x - x0) ** 2 + (y - y0) ** 2) / width ** 2)
+    grid, h0 = _pbc_grid(mesh, nz, depth, max_depth, dtype,
+                         coriolis=lambda yy, lat: np.full_like(yy, 1e-4))
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    T = 5.0 + 15.0 * np.exp(z_mid / 1000.0)      # exponential stratification
+    S = np.full((nC, nz), 35.0)
+    return grid, _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+
+
+def init_ziso(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """Zonally-periodic Idealized Southern Ocean (ref:
+    mpas_ocn_init_ziso.F): beta-plane channel, meridional shelf-slope
+    bathymetry, tanh thermocline T(z) = t1 + t2*tanh(z/h1) + mt*z
+    (ref :388-389), and a sin^2 westerly wind-stress profile (ref
+    :~300 windStressZonal). Returns (grid, state, forcing)."""
+    from mpas_tpu.cores.ocean.forcing import OcnSurfaceForcing, zero_forcing
+    max_depth = 2500.0
+    shelf_depth = 500.0
+    nC = mesh.nCells
+    y = np.asarray(mesh.yCell)
+    ly = y.max() - y.min()
+    y_rel = y - y.min()
+    # shelf -> deep transition (ref config_ziso_slope_center_position)
+    slope_center, slope_half = 0.25 * ly, 0.1 * ly
+    depth = shelf_depth + 0.5 * (max_depth - shelf_depth) \
+        * (1.0 + np.tanh((y_rel - slope_center) / slope_half))
+    f0, beta = -1e-4, 1e-11
+    grid, h0 = _pbc_grid(
+        mesh, nz, depth, max_depth, dtype,
+        coriolis=lambda yy, lat: f0 + beta * (yy - y.min()))
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    t1, t2, h1, mt = 6.0, 3.6, 300.0, 0.0
+    T = t1 + t2 * np.tanh(z_mid / h1) + mt * z_mid   # (ref :388-389)
+    S = np.full((nC, nz), 34.5)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    # wind stress: tau = tau_max * sin^2(pi * y / Ly) (ref :~300)
+    tau_max = 0.2
+    tau = tau_max * np.sin(pii * y_rel / ly) ** 2
+    f = zero_forcing(nC, dtype=np.asarray(h0).dtype)
+    forcing = f.replace(windStressZonal=np.asarray(tau, dtype=dtype))
+    return grid, state, forcing
+
+
+def init_soma(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """SOMA — Simulating Ocean Mesoscale Activity (ref:
+    mpas_ocn_init_soma.F): a circular mid-latitude basin on the sphere
+    with a shelf rim, bowl bathymetry factor = 1 - r^2/W^2 (ref :252-259),
+    exponential-thermocline stratification and a double-gyre zonal wind.
+    Returns (grid, state, forcing)."""
+    from mpas_tpu.cores.ocean.forcing import zero_forcing
+    assert mesh.on_sphere
+    from mpas_tpu.constants import omega
+    if mesh.sphere_radius < 1e6:         # unit sphere -> Earth radius
+        mesh = mesh.scaled(6.371e6)
+    bottom_depth, shelf_depth = 2500.0, 100.0
+    lat_c, lon_c = 35.0 * pii / 180.0, pii
+    domain_width = 1.25e6 / mesh.sphere_radius   # angular basin radius
+    nC = mesh.nCells
+    lat, lon = np.asarray(mesh.latCell), np.asarray(mesh.lonCell)
+    dlat = lat - lat_c
+    dlon = (lon - lon_c + pii) % (2.0 * pii) - pii
+    dist = np.sqrt(dlat ** 2 + (np.cos(lat_c) * dlon) ** 2)
+    factor = 1.0 - dist ** 2 / domain_width ** 2
+    # bowl: shelf at the rim, deep in the middle (ref :256)
+    depth = shelf_depth + 0.5 * (bottom_depth - shelf_depth) \
+        * (1.0 + np.tanh(8.0 * (factor - 0.2)))
+    grid, h0 = _pbc_grid(mesh, nz, depth, bottom_depth, dtype,
+                         coriolis=lambda yy, lat_: 2.0 * omega
+                         * np.sin(lat_))
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    # T = Ts + dT*(exp(z/h_th) - 1) genre (ref :335-345 via linear EOS)
+    T = 20.0 + 13.0 * (np.exp(z_mid / 300.0) - 1.0)
+    S = 34.0 - 2.0 * z_mid / bottom_depth            # (ref :343-344)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    # double-gyre zonal wind over the basin (ref :360-385)
+    tau = 0.1 * np.cos(pii * (lat - lat_c) / (0.5 * domain_width)) \
+        * (dist < domain_width)
+    f = zero_forcing(nC, dtype=np.asarray(h0).dtype)
+    forcing = f.replace(windStressZonal=np.asarray(tau, dtype=dtype))
+    return grid, state, forcing
+
+
+def init_isomip(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """ISOMIP ice-shelf cavity (ref: mpas_ocn_init_isomip.F): a cold
+    cavity under a prescribed ice-shelf draft deepening poleward; the
+    water column spans [draft, bottom]. Returns (grid, state, extras)
+    with extras carrying landIceDraft and landIcePressure."""
+    bottom_depth = 900.0
+    nC = mesh.nCells
+    y = np.asarray(mesh.yCell)
+    ly = max(y.max() - y.min(), 1.0)
+    yfrac = (y - y.min()) / ly
+    # draft: 700 m at the grounding line -> 200 m at the front (ref genre)
+    draft = 700.0 - 500.0 * yfrac
+    column = bottom_depth - draft                  # water-column thickness
+    grid, h0 = _pbc_grid(mesh, nz, column, bottom_depth, dtype,
+                         coriolis=lambda yy, lat: np.full_like(yy, -1.4e-4))
+    T = np.full((nC, nz), -1.9)                    # near-freezing cavity
+    S = np.full((nC, nz), 34.5)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    rho_i = 918.0
+    extras = {"landIceDraft": -draft.astype(dtype),
+              "landIcePressure": (rho_i * 9.80616
+                                  * draft).astype(dtype)}
+    return grid, state, extras
+
+
+def init_sub_ice_shelf_2d(mesh: Mesh, nz: int = 20, dtype=np.float64):
+    """2-D sub-ice-shelf channel (ref: mpas_ocn_init_sub_ice_shelf_2D.F):
+    linear ice draft over half the channel, open ocean beyond."""
+    bottom_depth = 720.0
+    nC = mesh.nCells
+    y = np.asarray(mesh.yCell)
+    ly = max(y.max() - y.min(), 1.0)
+    yfrac = (y - y.min()) / ly
+    draft = np.where(yfrac < 0.5, 600.0 * (1.0 - 2.0 * yfrac), 0.0)
+    column = bottom_depth - draft
+    grid, h0 = _pbc_grid(mesh, nz, column, bottom_depth, dtype,
+                         coriolis=lambda yy, lat: np.full_like(yy, -1.4e-4))
+    T = np.full((nC, nz), -1.5)
+    S = np.full((nC, nz), 34.7)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    rho_i = 918.0
+    extras = {"landIceDraft": -draft.astype(dtype),
+              "landIcePressure": (rho_i * 9.80616 * draft).astype(dtype)}
+    return grid, state, extras
+
+
+def init_cvmix_wswsbf(mesh: Mesh, nz: int = 40, dtype=np.float64):
+    """Single-column genre: Wind Stress with Surface Buoyancy Forcing
+    (ref: mpas_ocn_init_cvmix_WSwSBF.F) — uniformly stratified resting
+    column(s) driven by constant wind stress and surface cooling, for
+    exercising the vertical-mixing schemes. Returns (grid, state,
+    forcing)."""
+    from mpas_tpu.cores.ocean.forcing import zero_forcing
+    bottom_depth = 400.0
+    nC = mesh.nCells
+    grid, h0 = _uniform_grid(mesh, nz, bottom_depth, dtype, coriolis=1e-4)
+    z_mid = -(np.arange(nz) + 0.5) * bottom_depth / nz
+    T = (15.0 + 0.01 * z_mid)[None, :] * np.ones((nC, 1))
+    S = np.full((nC, nz), 35.0)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    f = zero_forcing(nC, dtype=np.asarray(h0).dtype)
+    forcing = f.replace(
+        windStressZonal=np.full(nC, 0.1, dtype=dtype),
+        sensibleHeatFlux=np.full(nC, -75.0, dtype=dtype))
+    return grid, state, forcing
+
+
+def init_global_ocean_idealized(mesh: Mesh, nz: int = 20,
+                                dtype=np.float64):
+    """Idealized stand-in for the real-data global_ocean configuration
+    (ref: mpas_ocn_init_global_ocean.F reads observed T/S/bathymetry from
+    files not vendored here): an aqua-planet with analytic large-scale
+    bathymetry (deep basins, a shallow circum-equatorial ridge), Levitus-
+    like stratification, solid land masses via maxLevelCell at the two
+    polar caps, and zonal trade/westerly wind bands. Returns
+    (grid, state, forcing)."""
+    from mpas_tpu.constants import omega
+    from mpas_tpu.cores.ocean.forcing import zero_forcing
+    assert mesh.on_sphere
+    if mesh.sphere_radius < 1e6:         # unit sphere -> Earth radius
+        mesh = mesh.scaled(6.371e6)
+    max_depth = 5000.0
+    nC = mesh.nCells
+    lat, lon = np.asarray(mesh.latCell), np.asarray(mesh.lonCell)
+    depth = max_depth - 1500.0 * np.cos(2.0 * lon) ** 2 \
+        * np.cos(lat) ** 2 - 800.0 * np.exp(-(lat / 0.15) ** 2)
+    # polar "land": shallowest columns (still >= 2 levels — the masks make
+    # them near-inert; a true land mask is a later milestone)
+    depth = np.where(np.abs(lat) > 80.0 * pii / 180.0,
+                     2.0 * max_depth / nz, depth)
+    grid, h0 = _pbc_grid(mesh, nz, depth, max_depth, dtype,
+                         coriolis=lambda yy, lat_: 2.0 * omega
+                         * np.sin(lat_))
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    T = 2.0 + 25.0 * np.exp(z_mid / 800.0) * np.cos(lat[:, None]) ** 2
+    S = 34.7 + 0.7 * np.exp(z_mid / 1000.0)
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    tau = 0.1 * (np.cos(3.0 * lat) * np.cos(lat))    # trades + westerlies
+    f = zero_forcing(nC, dtype=np.asarray(h0).dtype)
+    forcing = f.replace(windStressZonal=np.asarray(tau, dtype=dtype))
+    return grid, state, forcing

@@ -85,3 +85,126 @@ class TestCosineBell:
         # the bell moved eastward: lon center of mass increased
         com1 = float(jnp.sum(grid.mesh.lonCell[:, None] * bell * area))
         assert com1 != pytest.approx(com0, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth: lock_exchange, sea_mount, ziso, soma, isomip,
+# sub_ice_shelf_2D, cvmix_WSwSBF, global_ocean (idealized) + partial
+# bottom cells / level masks
+# ---------------------------------------------------------------------------
+
+from mpas_tpu.cores.ocean.init_configs import (init_cvmix_wswsbf,
+                                               init_global_ocean_idealized,
+                                               init_isomip,
+                                               init_lock_exchange,
+                                               init_sea_mount, init_soma,
+                                               init_sub_ice_shelf_2d,
+                                               init_ziso)
+
+
+def _run_conserves(grid, state, steps=30, dt=30.0, forcing=None, **cfgkw):
+    grid = jax.tree.map(jnp.asarray, grid)
+    state = jax.tree.map(jnp.asarray, state)
+    cfg = OcnConfig(config_dt=dt, **cfgkw)
+    area = grid.mesh.areaCell[:, None]
+    live = grid.cellMask if grid.cellMask is not None else 1.0
+    vol0 = float(jnp.sum(state.layerThickness * live * area))
+    if forcing is not None:
+        out = run_steps(grid, cfg, state, steps,
+                        jax.tree.map(jnp.asarray, forcing))
+    else:
+        out = run_steps(grid, cfg, state, steps)
+    vol1 = float(jnp.sum(out.layerThickness * live * area))
+    assert np.isfinite(np.asarray(out.u)).all()
+    assert np.isfinite(np.asarray(out.tracers)).all()
+    assert vol1 == pytest.approx(vol0, rel=1e-10)
+    return grid, out
+
+
+class TestLockExchange:
+    def test_gravity_currents_form(self):
+        m = channel_hex_mesh(6, 16, 500.0)
+        grid, state = init_lock_exchange(m, nz=10)
+        grid, out = _run_conserves(grid, state, steps=60, dt=5.0)
+        assert float(jnp.max(jnp.abs(out.u))) > 0.05   # fronts moving
+
+
+class TestSeaMount:
+    def test_masks_follow_bathymetry(self):
+        m = channel_hex_mesh(10, 12, 8000.0)
+        grid, state = init_sea_mount(m, nz=12)
+        mlc = np.asarray(grid.maxLevelCell)
+        assert mlc.min() >= 2 and mlc.max() == 12
+        assert mlc.min() < 12                    # seamount shallower
+        cm = np.asarray(grid.cellMask)
+        assert (cm.sum(-1) == mlc).all()
+        # dead levels carry epsilon thickness
+        h = np.asarray(state.layerThickness)
+        k = np.arange(12)[None, :]
+        assert (h[k >= mlc[:, None]] < 1.0).all()
+
+    def test_resting_state_stays_nearly_at_rest(self):
+        """The classic sigma-coordinate PGF error test: z-level partial
+        bottom cells must keep spurious currents small."""
+        m = channel_hex_mesh(10, 12, 8000.0)
+        grid, state = init_sea_mount(m, nz=12)
+        grid, out = _run_conserves(grid, state, steps=60, dt=20.0)
+        assert float(jnp.max(jnp.abs(out.u))) < 0.05
+
+
+class TestZiso:
+    def test_spinup_under_wind(self):
+        m = channel_hex_mesh(8, 16, 20000.0)
+        grid, state, forcing = init_ziso(m, nz=10)
+        grid, out = _run_conserves(grid, state, steps=40, dt=60.0,
+                                   forcing=forcing)
+        assert float(jnp.max(jnp.abs(out.u))) > 1e-4   # wind spins it up
+
+
+class TestSoma:
+    def test_basin_on_sphere(self):
+        m = icosahedral_mesh(12, lloyd_iters=2)
+        grid, state, forcing = init_soma(m, nz=8)
+        mlc = np.asarray(grid.maxLevelCell)
+        assert mlc.min() >= 2 and mlc.max() > mlc.min()  # bowl + rim
+        _run_conserves(grid, state, steps=20, dt=120.0, forcing=forcing)
+
+
+class TestIceShelfCavities:
+    def test_isomip_draft_and_column(self):
+        m = channel_hex_mesh(6, 12, 10000.0)
+        grid, state, extras = init_isomip(m, nz=10)
+        assert (np.asarray(extras["landIceDraft"]) <= 0.0).all()
+        assert (np.asarray(extras["landIcePressure"]) >= 0.0).all()
+        _run_conserves(grid, state, steps=30, dt=60.0)
+
+    def test_sub_ice_shelf_2d(self):
+        m = channel_hex_mesh(4, 16, 5000.0)
+        grid, state, extras = init_sub_ice_shelf_2d(m, nz=10)
+        draft = np.asarray(extras["landIceDraft"])
+        assert draft.min() < -400.0 and draft.max() == 0.0
+        _run_conserves(grid, state, steps=30, dt=30.0)
+
+
+class TestCvmixWSwSBF:
+    def test_mixed_layer_deepens(self):
+        m = channel_hex_mesh(4, 6, 10000.0)
+        grid, state, forcing = init_cvmix_wswsbf(m, nz=20)
+        grid2, out = _run_conserves(grid, state, steps=40, dt=300.0,
+                                    forcing=forcing,
+                                    config_vert_mix_scheme="cvmix")
+        # surface cooling + wind must erode the stratification near-surface
+        T0 = np.asarray(state.tracers)[..., 0]
+        T1 = np.asarray(out.tracers)[..., 0]
+        dT0 = T0[:, 0] - T0[:, 3]
+        dT1 = T1[:, 0] - T1[:, 3]
+        assert dT1.mean() < dT0.mean()
+
+
+class TestGlobalOceanIdealized:
+    def test_aquaplanet_steps_stably(self):
+        m = icosahedral_mesh(12, lloyd_iters=2)
+        grid, state, forcing = init_global_ocean_idealized(m, nz=10)
+        mlc = np.asarray(grid.maxLevelCell)
+        assert mlc.max() == 10 and mlc.min() >= 2
+        _run_conserves(grid, state, steps=20, dt=120.0, forcing=forcing)
