@@ -27,6 +27,11 @@ from mpas_tpu.cores.ocean.analysis.mixed_layer_depths import MixedLayerDepths
 from mpas_tpu.cores.ocean.analysis.moc import MocStreamfunction
 from mpas_tpu.cores.ocean.analysis.okubo_weiss import OkuboWeiss
 from mpas_tpu.cores.ocean.analysis.zonal_mean import ZonalMean
+from mpas_tpu.cores.ocean.analysis.extra_members import (
+    DebugDiagnostics, EddyProductVariables, HighFrequencyOutput,
+    PointwiseStats, RegionalStats, RpnCalculator,
+    SurfaceAreaWeightedAverages, TimeFilters, TransectTransport,
+    WaterMassCensus)
 
 _REGISTRY = {
     "globalStats": GlobalStats,
@@ -36,6 +41,16 @@ _REGISTRY = {
     "okuboWeiss": OkuboWeiss,
     "layerVolumeWeightedAverage": LayerVolumeWeightedAverage,
     "mocStreamfunction": MocStreamfunction,
+    "eddyProductVariables": EddyProductVariables,
+    "waterMassCensus": WaterMassCensus,
+    "transectTransport": TransectTransport,
+    "highFrequencyOutput": HighFrequencyOutput,
+    "surfaceAreaWeightedAverages": SurfaceAreaWeightedAverages,
+    "pointwiseStats": PointwiseStats,
+    "debugDiagnostics": DebugDiagnostics,
+    "timeFilters": TimeFilters,
+    "regionalStats": RegionalStats,
+    "rpnCalculator": RpnCalculator,
 }
 
 

@@ -198,3 +198,78 @@ def test_time_series_stats_windows_and_climatology(channel):
     # min/max bracket the average
     assert np.all(r0["ssh_min"] <= r0["ssh_avg"] + 1e-12)
     assert np.all(r0["ssh_max"] >= r0["ssh_avg"] - 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round-2 member breadth (ref: the remaining analysis_members/ files)
+# ---------------------------------------------------------------------------
+
+def test_new_members_compute(channel):
+    """All ten new members run through the driver and produce sane output."""
+    from mpas_tpu.cores.ocean.analysis import AnalysisDriver
+    grid, state = channel
+    cfg = OcnConfig()
+    names = ["eddyProductVariables", "waterMassCensus", "transectTransport",
+             "highFrequencyOutput", "surfaceAreaWeightedAverages",
+             "pointwiseStats", "debugDiagnostics", "timeFilters",
+             "regionalStats", "rpnCalculator"]
+    drv = AnalysisDriver(members={n: 3600.0 for n in names})
+    drv.init(grid, cfg)
+    drv.compute_all(grid, cfg, state)
+    for n in names:
+        assert len(drv.history[n]) == 1, n
+        _, out = drv.history[n][0]
+        for k, v in out.items():
+            assert np.isfinite(np.asarray(v, dtype=np.float64)).all(), (n, k)
+
+
+def test_water_mass_census_conserves_volume(channel):
+    from mpas_tpu.cores.ocean.analysis.extra_members import WaterMassCensus
+    grid, state = channel
+    cfg = OcnConfig()
+    m = WaterMassCensus()
+    m.init(grid, cfg)
+    out = m.compute(grid, cfg, state)
+    mask = grid.cellMask if grid.cellMask is not None else 1.0
+    vol = float(np.sum(np.asarray(state.layerThickness * mask)
+                       * np.asarray(grid.mesh.areaCell)[:, None]))
+    # T/S of the channel lie inside the default bin ranges
+    assert out["waterMassCensus"].sum() == pytest.approx(vol, rel=1e-10)
+
+
+def test_transect_transport_zero_at_rest(channel):
+    from mpas_tpu.cores.ocean.analysis.extra_members import TransectTransport
+    grid, state = channel
+    cfg = OcnConfig()
+    m = TransectTransport()
+    m.init(grid, cfg)
+    out = m.compute(grid, cfg, state.replace(u=state.u * 0.0))
+    assert out["nTransectEdges"] > 0
+    assert out["transectTransportSv"] == 0.0
+
+
+def test_rpn_calculator_arithmetic(channel):
+    from mpas_tpu.cores.ocean.analysis.extra_members import RpnCalculator
+    grid, state = channel
+    cfg = OcnConfig()
+    m = RpnCalculator()
+    m.expression = "temperature 2.0 * salinity -"
+    m.init(grid, cfg)
+    out = m.compute(grid, cfg, state)
+    expect = 2.0 * np.asarray(state.tracers[..., 0]) \
+        - np.asarray(state.tracers[..., 1])
+    assert np.allclose(out["rpnResult"], expect)
+
+
+def test_time_filters_low_pass(channel):
+    from mpas_tpu.cores.ocean.analysis.extra_members import TimeFilters
+    grid, state = channel
+    cfg = OcnConfig()
+    m = TimeFilters()
+    m.init(grid, cfg)
+    m.compute(grid, cfg, state)                      # seeds the filter
+    kicked = state.replace(u=state.u + 1.0)
+    out = m.compute(grid, cfg, kicked)
+    # the filtered field moves toward the kick but lags it
+    du = out["uLowPass"] - np.asarray(state.u)
+    assert 0.0 < du.mean() < 1.0
