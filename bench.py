@@ -21,10 +21,7 @@ BASELINE_COLUMN_UPDATES_PER_S = 2.0e4
 
 def main():
     ap = argparse.ArgumentParser()
-    # NOTE: jw_120km (40962 cells) currently hangs the axon remote-compile
-    # service for the full unrolled srk3 graph; jw_480km is the safe default
-    # until the kernel-size issue is addressed (tracked for round 2).
-    ap.add_argument("--config", default="jw_480km",
+    ap.add_argument("--config", default="jw_120km",
                     choices=["jw_120km", "jw_480km", "sw_tc5_120km",
                              "sw_tc5_480km"])
     ap.add_argument("--steps", type=int, default=10)

@@ -285,7 +285,11 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     tend_u = tend_u + diag.rho_edge * (q - dke) - hdivu
 
     if mesh.on_sphere and CURVATURE:  # CURVATURE terms (ref :4815-4823)
-        w4 = 0.25 * (w[c1, :-1] + w[c1, 1:] + w[c2, :-1] + w[c2, 1:])
+        # level-average FIRST, then row-gather: a gather fused with a lane
+        # slice (w[c1, :-1]) lowers to a pathological TPU gather (~100x
+        # slower than a row gather — measured 1.16 s vs 8 ms at 40k cells)
+        w_mid = 0.5 * (w[:, :-1] + w[:, 1:])
+        w4 = 0.5 * (w_mid[c1] + w_mid[c2])
         tend_u = tend_u - 2.0 * omega \
             * jnp.cos(mesh.angleEdge)[:, None] \
             * jnp.cos(mesh.latEdge)[:, None] * diag.rho_edge * w4 \

@@ -150,13 +150,22 @@ def itd_remap(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
     return out
 
 
-def ridge(cfg: SeaiceConfig, state: SeaiceState) -> SeaiceState:
-    """Mechanical redistribution: if total area > 1, compress at constant
-    volume (thickness increases). ref capability: column/ice_mechred.F90."""
-    a = state.iceAreaCategory
-    total = jnp.sum(a, axis=-1, keepdims=True)
-    scale = jnp.where(total > 1.0, 1.0 / jnp.maximum(total, cfg.puny), 1.0)
-    return state.replace(iceAreaCategory=a * scale)
+def ridge(cfg: SeaiceConfig, state: SeaiceState, dt: float = 3600.0,
+          closing_rate=None) -> SeaiceState:
+    """Mechanical redistribution (ref: column/ice_mechred.F90): the
+    Thorndike participation / exponential redistribution scheme of
+    ridging.ridge_step — thin ice participating in closing piles into
+    ridges 2-25x its thickness, conserving ice volume and enthalpy while
+    shedding area (and (1-fsnowrdg) of the ridged snow to the ocean)."""
+    from mpas_tpu.cores.seaice.ridging import ridge_step
+    a, v, vs, ts, qi, qs, _ = ridge_step(
+        cfg, state.iceAreaCategory, state.iceVolumeCategory,
+        state.snowVolumeCategory, state.surfaceTemperature, dt,
+        q_ice=state.iceEnthalpy, q_snow=state.snowEnthalpy,
+        closing_rate=closing_rate)
+    return state.replace(iceAreaCategory=a, iceVolumeCategory=v,
+                         snowVolumeCategory=vs, surfaceTemperature=ts,
+                         iceEnthalpy=qi, snowEnthalpy=qs)
 
 
 def thermodynamics_multilayer(cfg: SeaiceConfig, state: SeaiceState,
@@ -204,7 +213,7 @@ def column_physics_step(cfg: SeaiceConfig, state: SeaiceState,
                         forcing: SeaiceForcing, dt) -> SeaiceState:
     """ref ordering: seaice_column_* called after dynamics/advection
     (mpas_seaice_time_integration.F:42-174)."""
-    state = ridge(cfg, state)
+    state = ridge(cfg, state, dt)
     if cfg.config_thermo_type in ("bl99", "mushy"):
         state = thermodynamics_multilayer(cfg, state, forcing, dt)
     else:

@@ -274,3 +274,79 @@ class TestPrincipalStresses:
         assert np.percentile(lhs, 95) < 1.5
         # stresses are compressive on average
         assert np.mean(s1n[valid] + s2n[valid]) < 0.1
+
+
+class TestMechanicalRidging:
+    """ice_mechred.F90 parity properties: participation of thin ice,
+    volume/energy conservation, area reduction under compression."""
+
+    def _mkstate(self, nC=6, ncat=5, with_enthalpy=False):
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        cfg = SeaiceConfig()
+        rng = np.random.default_rng(11)
+        a = rng.uniform(0.1, 0.35, (nC, ncat))
+        a = a / a.sum(-1, keepdims=True) * 1.15     # compressed: asum > 1
+        h_mid = np.array([0.3, 1.0, 1.9, 3.5, 6.0])[:ncat]
+        v = a * h_mid[None, :]
+        vs = 0.1 * a
+        ts = np.full((nC, ncat), -5.0)
+        qi = qs = None
+        if with_enthalpy:
+            qi = np.full((nC, ncat, 4), -2.0e8)
+            qs = np.full((nC, ncat, 1), -1.1e8)
+        j = jnp.asarray
+        return cfg, j(a), j(v), j(vs), j(ts), \
+            (j(qi) if qi is not None else None), \
+            (j(qs) if qs is not None else None)
+
+    def test_compression_restores_area_conserves_volume(self):
+        from mpas_tpu.cores.seaice.ridging import ridge_step
+        cfg, a, v, vs, ts, qi, qs = self._mkstate()
+        a2, v2, vs2, ts2, _, _, a_open = ridge_step(cfg, a, v, vs, ts,
+                                                    3600.0)
+        asum2 = np.asarray(jnp.sum(a2, -1))
+        assert (asum2 <= 1.0 + 1e-6).all()
+        assert (asum2 > 0.9).all()                  # not over-closed
+        # ice volume conserved exactly
+        np.testing.assert_allclose(np.asarray(jnp.sum(v2, -1)),
+                                   np.asarray(jnp.sum(v, -1)), rtol=1e-12)
+        # snow volume decreases (the (1-fsnowrdg) share goes to the ocean)
+        assert (np.asarray(jnp.sum(vs2, -1))
+                <= np.asarray(jnp.sum(vs, -1)) + 1e-12).all()
+
+    def test_ridged_ice_moves_to_thicker_categories(self):
+        from mpas_tpu.cores.seaice.ridging import ridge_step
+        cfg, a, v, vs, ts, qi, qs = self._mkstate()
+        a2, v2, *_ = ridge_step(cfg, a, v, vs, ts, 3600.0)
+        h1 = np.asarray(jnp.sum(v, -1) / jnp.sum(a, -1))
+        h2 = np.asarray(jnp.sum(v2, -1) / jnp.sum(a2, -1))
+        assert (h2 > h1).all()                      # mean thickness grows
+        # thin category loses area preferentially (participation function)
+        da = np.asarray(a2 - a)
+        assert (da[:, 0] < 0).all()
+
+    def test_enthalpy_conserved(self):
+        from mpas_tpu.cores.seaice.ridging import ridge_step
+        cfg, a, v, vs, ts, qi, qs = self._mkstate(with_enthalpy=True)
+        a2, v2, vs2, ts2, qi2, qs2, _ = ridge_step(cfg, a, v, vs, ts,
+                                                   3600.0, q_ice=qi,
+                                                   q_snow=qs)
+        e1 = np.asarray(jnp.sum(qi * v[..., None], (-1, -2)))
+        e2 = np.asarray(jnp.sum(qi2 * v2[..., None], (-1, -2)))
+        np.testing.assert_allclose(e2, e1, rtol=1e-10)  # ice energy exact
+        # uniform enthalpy stays uniform (no spurious mixing artifacts)
+        assert np.allclose(np.asarray(qi2), -2.0e8, rtol=1e-10)
+
+    def test_dynamics_closing_rate_ridges_subunity_ice(self):
+        """Even with asum < 1, a convergent-flow closing rate must ridge."""
+        from mpas_tpu.cores.seaice.ridging import ridge_step
+        cfg, a, v, vs, ts, qi, qs = self._mkstate()
+        a = a * 0.7                                 # asum ~ 0.8
+        v = v * 0.7
+        closing = jnp.full((a.shape[0],), 1e-5)     # 1/s
+        a2, v2, *_ = ridge_step(cfg, a, v, vs, ts, 3600.0,
+                                closing_rate=closing)
+        assert (np.asarray(jnp.sum(a2, -1))
+                < np.asarray(jnp.sum(a, -1)) - 1e-4).all()
+        np.testing.assert_allclose(np.asarray(jnp.sum(v2, -1)),
+                                   np.asarray(jnp.sum(v, -1)), rtol=1e-12)
