@@ -18,6 +18,11 @@ class LiConfig:
 
     # velocity (ref: config_velocity_solver 'sia'|'simple'|'FO' external)
     config_velocity_solver: str = "sia"
+    # FO (Blatter-Pattyn) solver controls (ref: the Albany/FELIX solve
+    # behind Interface_velocity_solver.cpp; JAX-native in fo_stokes.py)
+    config_fo_basal_friction: float = 1.0e12    # Pa s/m (~no-slip)
+    config_fo_picard_iters: int = 10
+    config_fo_cg_iters: int = 120
     config_nvertlevels: int = 5
     # Glen flow-law exponent (ref: li_constants n=3)
     config_flowlaw_exponent: float = 3.0

@@ -38,6 +38,9 @@ class LiGrid:
     # layerInterfaceSigma (mpas_li_sia.F:428)
     layerInterfaceSigma: Any    # (nz+1,)
     layerSigmaFraction: Any     # (nz,) layer fractional thickness
+    # first-order Stokes geometry (built when config_velocity_solver='FO';
+    # ref: the extruded-grid setup of Interface_velocity_solver.cpp:928)
+    fo_geom: Any = None
 
 
 @struct.dataclass
@@ -58,8 +61,46 @@ def make_grid(mesh: Mesh, cfg: LiConfig, bed=None) -> LiGrid:
     frac = jnp.full((nz,), 1.0 / nz)
     if bed is None:
         bed = jnp.zeros((mesh.nCells,))
+    fo_geom = None
+    if cfg.config_velocity_solver == "FO":
+        from mpas_tpu.cores.landice.fo_stokes import build_fo_geom
+        fo_geom = build_fo_geom(mesh)
     return LiGrid(mesh=mesh, bedTopography=jnp.asarray(bed),
-                  layerInterfaceSigma=sigma, layerSigmaFraction=frac)
+                  layerInterfaceSigma=sigma, layerSigmaFraction=frac,
+                  fo_geom=fo_geom)
+
+
+def fo_velocity(grid: LiGrid, cfg: LiConfig, thickness, temperature):
+    """First-order Stokes edge-normal interface velocities.
+
+    ref: mpas_li_velocity_external.F + Interface_velocity_solver.cpp
+    velocity_solver_solve_fo (:341) — here the JAX-native Blatter-Pattyn
+    solve of fo_stokes.py; cell (u, v) at layer midpoints are projected
+    onto edge normals and interpolated to layer interfaces."""
+    from mpas_tpu.cores.landice.fo_stokes import solve_fo_stokes
+    m = grid.mesh
+    nz = cfg.config_nvertlevels
+    surface = grid.bedTopography + thickness
+    flwa = flow_param_a(cfg, temperature)
+    beta2 = cfg.config_fo_basal_friction
+    u, v, _ = solve_fo_stokes(grid.fo_geom, thickness, surface, flwa,
+                              beta2, cfg.rho_ice * cfg.gravity, nz=nz,
+                              picard_iters=cfg.config_fo_picard_iters,
+                              cg_iters=cfg.config_fo_cg_iters)
+    dyn = (thickness > 1.0).astype(thickness.dtype)
+    u = u * dyn[:, None]
+    v = v * dyn[:, None]
+    coe = m.cellsOnEdge
+    un_mid = 0.5 * ((u[coe[:, 0]] + u[coe[:, 1]])
+                    * jnp.cos(m.angleEdge)[:, None]
+                    + (v[coe[:, 0]] + v[coe[:, 1]])
+                    * jnp.sin(m.angleEdge)[:, None])
+    # midpoints (k=0 surface..nz-1 base) -> interfaces (nz+1): linear
+    # interior, copy at the surface, zero at the bed contact
+    interior = 0.5 * (un_mid[:, 1:] + un_mid[:, :-1])
+    u_int = jnp.concatenate(
+        [un_mid[:, :1], interior, un_mid[:, -1:]], axis=1)
+    return u_int * (1.0 - m.boundaryEdge)[:, None]
 
 
 def zero_state(mesh: Mesh, cfg: LiConfig, dtype=jnp.float64) -> LiState:
@@ -210,7 +251,11 @@ def calve(grid: LiGrid, cfg: LiConfig, thickness, calving_flux):
 def fe_step(grid: LiGrid, cfg: LiConfig, state: LiState, dt) -> LiState:
     """One forward-Euler step (ref: li_time_integrator_forwardeuler,
     mpas_li_time_integration_fe.F)."""
-    u_int = sia_velocity(grid, cfg, state.thickness, state.temperature)
+    if cfg.config_velocity_solver == "FO":
+        u_int = fo_velocity(grid, cfg, state.thickness, state.temperature)
+    else:
+        u_int = sia_velocity(grid, cfg, state.thickness,
+                             state.temperature)
     t = state.temperature
     if cfg.config_thickness_advection == "incremental_remapping":
         from mpas_tpu.cores.landice.advection_ir import advect_thickness_ir
