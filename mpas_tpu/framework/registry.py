@@ -52,3 +52,40 @@ def generate_default_namelist(registry_xml: str) -> str:
 
 def generate_default_streams(registry_xml: str) -> str:
     return _run(registry_xml, "--streams")
+
+
+def build_state_pytree(schema: dict, dim_sizes: dict,
+                       active_packages=None, dtype=None):
+    """Allocate the per-var_struct state pytree from a registry schema,
+    honoring package gating: a var whose `packages` attribute names only
+    inactive packages is NOT allocated at all (ref: gen_inc.c:478 package
+    parsing + mpas_dmpar.F:5226 — inactive fields are never allocated and
+    exchanges skip them).
+
+    Returns {struct_name: {var_name: zeros(dims)}}. `dim_sizes` maps dim
+    names to ints; unknown dims raise. active_packages=None activates
+    everything (the reference default when no package is configured)."""
+    import numpy as np
+    dtype = dtype or np.float64
+    active = None if active_packages is None else set(active_packages)
+    out = {}
+    for sname, struct in schema.get("var_structs", {}).items():
+        fields = {}
+        for var in struct["vars"]:
+            pkgs = [p for p in (var.get("packages") or "").split(";") if p]
+            if pkgs and active is not None \
+                    and not (set(pkgs) & active):
+                continue                        # gated out: never allocated
+            dims = [d.strip() for d in var["dims"].split()
+                    if d.strip()]
+            try:
+                shape = tuple(dim_sizes[d] for d in dims)
+            except KeyError as e:
+                raise KeyError(
+                    f"var {var['name']}: unknown dimension {e} "
+                    f"(have {sorted(dim_sizes)})") from None
+            np_t = {"real": dtype, "integer": np.int32,
+                    "logical": np.bool_}.get(var["type"], dtype)
+            fields[var["name"]] = np.zeros(shape, dtype=np_t)
+        out[sname] = fields
+    return out

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import xml.etree.ElementTree as ET
 from typing import Any, Callable
 
@@ -47,6 +48,10 @@ class Stream:
     output_interval: str | None = None  # interval string | 'final_only' ...
     clobber_mode: str = "overwrite"     # 'never_modify'|'overwrite'|'append'
     packages: tuple = ()
+    # per-field package gating: {field: (pkg, ...)} — a field whose
+    # packages are all inactive is skipped at write time (ref: package-
+    # gated stream contents, mpas_stream_manager.F + gen_inc.c:478)
+    field_packages: dict = dataclasses.field(default_factory=dict)
 
     records: list = dataclasses.field(default_factory=list)
 
@@ -56,12 +61,36 @@ class StreamManager:
     (ref: MPAS_stream_mgr_write :2722, _read :3425)."""
 
     def __init__(self, clock: Clock, run_dir: str = ".",
-                 static_fields: dict | None = None):
+                 static_fields: dict | None = None,
+                 active_packages=None):
         self.clock = clock
         self.run_dir = run_dir
         self.streams: dict[str, Stream] = {}
         self.static_fields = static_fields or {}  # e.g. mesh fields + dims
+        # None = all packages active (reference default)
+        self.active_packages = None if active_packages is None \
+            else set(active_packages)
         self._writes = []  # log of (stream, filename, time)
+
+    def _packages_active(self, pkgs) -> bool:
+        if not pkgs or self.active_packages is None:
+            return True
+        return bool(set(pkgs) & self.active_packages)
+
+    def streams_matching(self, stream_id: str) -> list[str]:
+        """Names matching a streamID, which may be a POSIX regex (ref:
+        regex_matching.c — streamID=\"block_.*\" addresses many streams).
+        An exact name always matches itself."""
+        if stream_id in self.streams:
+            return [stream_id]
+        pat = re.compile(stream_id + r"\Z")
+        return [n for n in self.streams if pat.match(n)]
+
+    def write_matching(self, stream_id: str, provider, dims,
+                       force: bool = False, attrs=None) -> list:
+        """Write every stream whose name matches the (regex) streamID."""
+        return [self.write(n, provider, dims, force=force, attrs=attrs)
+                for n in self.streams_matching(stream_id)]
 
     def add_stream(self, stream: Stream):
         self.streams[stream.name] = stream
@@ -94,12 +123,20 @@ class StreamManager:
         stream = self.streams[name]
         if not self.should_write(name, force=force):
             return None
+        # stream-level package gating: a stream whose packages are all
+        # inactive is silently skipped (ref: package-gated streams)
+        if not self._packages_active(stream.packages):
+            return None
         t = self.clock.now
         fname = os.path.join(self.run_dir,
                              expand_filename_template(
                                  stream.filename_template, t))
         variables = {"xtime": (("Time", "StrLen"), _xtime_array(t))}
         for f in stream.fields:
+            # field-level package gating: inactive fields never appear in
+            # the output (mirrors never-allocated fields, mpas_dmpar.F:5226)
+            if not self._packages_active(stream.field_packages.get(f)):
+                continue
             dnames, arr = provider(f)
             variables[f] = (("Time",) + tuple(dnames),
                             np.asarray(arr)[None, ...])
@@ -107,6 +144,17 @@ class StreamManager:
             raise FileExistsError(
                 f"stream {name}: {fname} exists and clobber=never_modify "
                 "(ref: MPAS_STREAM_CLOBBER_NEVER, mpas_stream_manager.F:363)")
+        if os.path.exists(fname) and stream.clobber_mode == "append":
+            # append the new record to the existing record dimension
+            old, old_dims, old_attrs = read_netcdf(fname)
+            merged = {}
+            for k, (dn, arr) in variables.items():
+                if k in old:
+                    merged[k] = (dn, np.concatenate(
+                        [np.asarray(old[k]), np.asarray(arr)], axis=0))
+                else:
+                    merged[k] = (dn, arr)
+            variables = merged
         all_dims = {"Time": None, "StrLen": 64, **dims}
         write_netcdf(fname, all_dims, variables, attrs=attrs or {})
         if f"stream_{name}_out" in self.clock.alarms and not force:

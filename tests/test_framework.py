@@ -230,3 +230,100 @@ class TestLogAndTimers:
         table = tm.table()
         assert "outer" in table and "inner" in table
         assert tm.root.children["outer"].children["inner"].count == 2
+
+
+class TestPackageGatingAndStreamHardening:
+    """ref: package-gated allocation (gen_inc.c:478, mpas_dmpar.F:5226),
+    clobber modes (mpas_stream_manager.F:363), regex streamIDs
+    (regex_matching.c)."""
+
+    def _schema(self, tmp_path):
+        from mpas_tpu.framework.registry import load_schema
+        xml = """<registry core="t" version="1">
+<dims><dim name="nCells" definition="namelist"/>
+<dim name="nz" definition="5"/></dims>
+<packages><package name="pkgA" description="a"/>
+<package name="pkgB" description="b"/></packages>
+<var_struct name="state" time_levs="2">
+<var name="h" type="real" dimensions="nz nCells" units="m" description="d"/>
+<var name="extraA" type="real" dimensions="nCells" packages="pkgA"
+ units="m" description="d"/>
+<var name="extraB" type="real" dimensions="nCells" packages="pkgB"
+ units="m" description="d"/>
+</var_struct></registry>"""
+        p = tmp_path / "Registry.xml"
+        p.write_text(xml)
+        return load_schema(str(p))
+
+    def test_inactive_package_field_vanishes_from_state(self, tmp_path):
+        from mpas_tpu.framework.registry import build_state_pytree
+        schema = self._schema(tmp_path)
+        dims = {"nCells": 10, "nz": 5}
+        st = build_state_pytree(schema, dims, active_packages={"pkgA"})
+        assert "h" in st["state"]           # package-less: always there
+        assert "extraA" in st["state"]      # active package
+        assert "extraB" not in st["state"]  # inactive: never allocated
+        st_all = build_state_pytree(schema, dims)   # None = all active
+        assert "extraB" in st_all["state"]
+
+    def _mgr(self, tmp_path, active=None, clobber="overwrite"):
+        from mpas_tpu.framework.streams import Stream, StreamManager
+        from mpas_tpu.framework.timekeeping import Clock, Time, TimeInterval
+        clock = Clock(Time.from_string("0001-01-01_00:00:00", "gregorian"),
+                      TimeInterval.from_string("01:00:00"))
+        mgr = StreamManager(clock, run_dir=str(tmp_path),
+                            active_packages=active)
+        mgr.add_stream(Stream(
+            name="output", direction="output", filename_template="out.nc",
+            fields=["h", "extraB"], output_interval="01:00:00",
+            clobber_mode=clobber,
+            field_packages={"extraB": ("pkgB",)}))
+        mgr.add_stream(Stream(
+            name="block_1", direction="output",
+            filename_template="b1.nc", fields=["h"],
+            output_interval="01:00:00"))
+        mgr.add_stream(Stream(
+            name="block_2", direction="output",
+            filename_template="b2.nc", fields=["h"],
+            output_interval="01:00:00"))
+        return mgr
+
+    @staticmethod
+    def _provider(f):
+        return ("nCells",), np.arange(4.0)
+
+    def test_inactive_field_vanishes_from_output(self, tmp_path):
+        from mpas_tpu.io.netcdf import read_netcdf
+        mgr = self._mgr(tmp_path, active={"pkgA"})
+        fn = mgr.write("output", self._provider, {"nCells": 4}, force=True)
+        data, _, _ = read_netcdf(fn)
+        assert "h" in data and "extraB" not in data
+        mgr2 = self._mgr(tmp_path, active={"pkgA", "pkgB"},
+                         clobber="overwrite")
+        fn2 = mgr2.write("output", self._provider, {"nCells": 4},
+                         force=True)
+        data2, _, _ = read_netcdf(fn2)
+        assert "extraB" in data2
+
+    def test_regex_stream_ids(self, tmp_path):
+        mgr = self._mgr(tmp_path)
+        assert sorted(mgr.streams_matching("block_.*")) == ["block_1",
+                                                            "block_2"]
+        assert mgr.streams_matching("output") == ["output"]
+        out = mgr.write_matching("block_.*", self._provider,
+                                 {"nCells": 4}, force=True)
+        assert len(out) == 2 and all(o is not None for o in out)
+
+    def test_clobber_never_modify_protects_restart(self, tmp_path):
+        mgr = self._mgr(tmp_path, clobber="never_modify")
+        mgr.write("output", self._provider, {"nCells": 4}, force=True)
+        with pytest.raises(FileExistsError):
+            mgr.write("output", self._provider, {"nCells": 4}, force=True)
+
+    def test_clobber_append_accumulates_records(self, tmp_path):
+        from mpas_tpu.io.netcdf import read_netcdf
+        mgr = self._mgr(tmp_path, clobber="append")
+        fn = mgr.write("output", self._provider, {"nCells": 4}, force=True)
+        mgr.write("output", self._provider, {"nCells": 4}, force=True)
+        data, _, _ = read_netcdf(fn)
+        assert data["h"].shape[0] == 2      # two records

@@ -225,7 +225,8 @@ void emit_json(const XmlNode &reg, std::ostream &out) {
           fv = false;
           out << "{\"name\": \"" << c->attr("name") << "\", \"type\": \""
               << c->attr("type") << "\", \"dims\": \""
-              << c->attr("dimensions") << "\", \"array\": "
+              << c->attr("dimensions") << "\", \"packages\": \""
+              << c->attr("packages") << "\", \"array\": "
               << (c->name == "var_array" ? "true" : "false") << "}";
           if (c->name == "var_array") walk(*c);
         }
