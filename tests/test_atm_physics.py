@@ -171,3 +171,85 @@ class TestWsm6Dycore:
                            * gj.mesh.areaCell[:, None])) \
             + float(jnp.sum(carry.rainnc * 1000.0 * gj.mesh.areaCell))
         assert q1 == pytest.approx(q0, rel=5e-2)
+
+
+class TestWsm6FullProcessSet:
+    """Hong-Lim 2006 process physics (ref module_mp_wsm6.F): water and
+    energy conservation, regime-correct process activation."""
+
+    def _cols(self, t_c, qv=None, qc=0.0, qr=0.0, qi=0.0, qs=0.0, qg=0.0,
+              rh=None):
+        import mpas_tpu.cores.atmosphere.physics.wsm6 as w6
+        nC, nz = 4, 8
+        p = jnp.linspace(9.5e4, 3.0e4, nz)[None, :] * jnp.ones((nC, 1))
+        t = jnp.full((nC, nz), t_c + 273.15)
+        rho = p / (287.0 * t)
+        exner = (p / 1.0e5) ** (287.0 / 1004.5)
+        th = t / exner
+        dz = jnp.full((nC, nz), 500.0)
+        qsat = w6._qsat_liq(t, p)
+        if qv is None:
+            qv = (rh if rh is not None else 0.8) * qsat
+        mk = lambda x: jnp.full((nC, nz), x) if np.isscalar(x) else x
+        return (th, mk(qv), mk(qc), mk(qr), mk(qi), mk(qs), mk(qg),
+                rho, exner, p, dz)
+
+    def _total_water(self, out, rho, dz, rain):
+        qv, qc, qr, qi, qs, qg = out[1:7]
+        col = jnp.sum((qv + qc + qr + qi + qs + qg) * rho * dz, axis=-1)
+        return col + rain * 1000.0
+
+    def test_water_conserved(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(-5.0, qc=8e-4, qr=3e-4, qi=1e-4, qs=2e-4,
+                          qg=1e-4)
+        th, qv, qc, qr, qi, qs, qg, rho, exner, p, dz = args
+        w0 = jnp.sum((qv + qc + qr + qi + qs + qg) * rho * dz, axis=-1)
+        out = wsm6(th, qv, qc, qr, qi, qs, qg, rho, exner, p, dz, 10.0)
+        w1 = self._total_water(out, rho, dz, out[7])
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                                   rtol=1e-9)
+
+    def test_warm_rain_autoconversion_and_accretion(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(15.0, qc=2e-3, qr=1e-4)
+        out = wsm6(*args, 30.0)
+        qc1, qr1 = out[2], out[3]
+        assert float(jnp.mean(qc1)) < float(jnp.mean(args[2]))  # qc drains
+        assert float(out[7].sum()) >= 0.0
+
+    def test_cold_cloud_glaciates_and_snows(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        # supersaturated wrt ice at -20C: ice initiates and grows
+        args = self._cols(-20.0, rh=1.0, qi=5e-5, qs=1e-4)
+        out = wsm6(*args, 30.0)
+        assert float(jnp.mean(out[4] + out[5])) \
+            > float(jnp.mean(args[4] + args[5]))
+
+    def test_homogeneous_freezing_below_minus40(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(-45.0, qc=5e-4)
+        out = wsm6(*args, 10.0)
+        assert float(jnp.max(out[2])) < 1e-7     # all cloud froze
+        assert float(jnp.mean(out[4])) > 4e-4    # ... into cloud ice
+
+    def test_snow_melts_in_warm_layer(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(8.0, qs=5e-4)
+        th0 = args[0]
+        out = wsm6(*args, 60.0)
+        assert float(jnp.mean(out[5])) < float(jnp.mean(args[5]))
+        assert float(jnp.mean(out[3])) > 0.0         # melt -> rain
+        assert float(jnp.mean(out[0])) < float(jnp.mean(th0))  # cools
+
+    def test_biggs_freezing_makes_graupel(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(-15.0, qr=1e-3)
+        out = wsm6(*args, 60.0)
+        assert float(jnp.mean(out[6])) > float(jnp.mean(args[6]))
+
+    def test_sedimentation_rains_out(self):
+        from mpas_tpu.cores.atmosphere.physics.wsm6 import wsm6
+        args = self._cols(10.0, qr=2e-3)
+        out = wsm6(*args, 120.0)
+        assert float(out[7].mean()) > 0.0            # surface rain
