@@ -122,7 +122,9 @@ def make_grid(mesh: Mesh, variational: bool = False) -> SeaiceGrid:
     if variational:
         from mpas_tpu.cores.seaice.variational import (
             build_variational_coeffs)
-        var_coeffs = build_variational_coeffs(mesh)
+        var_coeffs = build_variational_coeffs(
+            mesh, basis=variational if isinstance(variational, str)
+            else "wachspress")
     return SeaiceGrid(
         mesh=mesh,
         normalPolygonE=jnp.asarray(polyE), normalPolygonN=jnp.asarray(polyN),

@@ -95,10 +95,53 @@ _QW = np.array([0.22338158967801, 0.22338158967801, 0.22338158967801,
                 0.10995174365532, 0.10995174365532, 0.10995174365532])
 
 
-def build_variational_coeffs(mesh: Mesh) -> VariationalCoeffs:
+def _pwl(verts):
+    """Piecewise-linear basis closure for one convex polygon (n, 2)
+    (ref: mpas_seaice_velocity_solver_pwl.F): the cell is fanned into
+    subtriangles from the vertex-average center; basis function j is the
+    linear interpolant of nodal values {1 at corner j, 0 at other
+    corners, 1/n at the center} on each subtriangle."""
+    n = len(verts)
+    center = verts.mean(axis=0)
+    cval = 1.0 / n
+
+    def w_and_grad(p):
+        best = None
+        for k in range(n):
+            a, b, c = center, verts[k], verts[(k + 1) % n]
+            T = np.array([[b[0] - a[0], c[0] - a[0]],
+                          [b[1] - a[1], c[1] - a[1]]])
+            det = np.linalg.det(T)
+            if abs(det) < 1e-30:
+                continue
+            Tinv = np.linalg.inv(T)
+            lam = Tinv @ (p - a)
+            l1, l2 = lam
+            l0 = 1.0 - l1 - l2
+            score = min(l0, l1, l2)
+            if best is None or score > best[0]:
+                best = (score, k, l0, l1, l2, Tinv)
+        _, k, l0, l1, l2, Tinv = best
+        g1, g2 = Tinv[0], Tinv[1]
+        g0 = -(g1 + g2)
+        phi = np.full(n, cval * l0)
+        grad = np.tile(cval * g0, (n, 1))
+        phi[k] += l1
+        grad[k] += g1
+        k2 = (k + 1) % n
+        phi[k2] += l2
+        grad[k2] += g2
+        return phi, grad
+
+    return w_and_grad
+
+
+def build_variational_coeffs(mesh: Mesh,
+                             basis: str = "wachspress"
+                             ) -> VariationalCoeffs:
     """Host-side precompute (ref: seaice_init_velocity_solver_variational +
-    the Wachspress basis/integral setup with config_wachspress_integration
-    quadrature)."""
+    the Wachspress/PWL basis and integral setup,
+    config_variational_basis = 'wachspress'|'pwl')."""
     m = mesh
     nC, mE = m.nCells, m.maxEdges
     voc = np.asarray(m.verticesOnCell)
@@ -142,7 +185,8 @@ def build_variational_coeffs(mesh: Mesh) -> VariationalCoeffs:
                 vy = (vy + 0.5 * m.y_period) % m.y_period - 0.5 * m.y_period
             verts = np.stack([vx, vy], axis=-1)
 
-        wg = _wachspress(verts)
+        wg = _pwl(verts) if basis == "pwl" \
+            else _wachspress(verts)
         # derivatives at corners (nudged slightly inward: Wachspress
         # gradients are singular exactly at the corners)
         centroid = verts.mean(axis=0)

@@ -350,3 +350,60 @@ class TestMechanicalRidging:
                 < np.asarray(jnp.sum(a, -1)) - 1e-4).all()
         np.testing.assert_allclose(np.asarray(jnp.sum(v2, -1)),
                                    np.asarray(jnp.sum(v, -1)), rtol=1e-12)
+
+
+class TestPwlBasis:
+    """PWL variational basis (ref: mpas_seaice_velocity_solver_pwl.F) —
+    same contract as Wachspress: partition of unity, linear completeness,
+    and exact strains for linear velocity fields."""
+
+    def test_partition_of_unity_and_linear_completeness(self):
+        from mpas_tpu.cores.seaice.variational import _pwl
+        rng = np.random.default_rng(3)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        verts = np.stack([np.cos(ang), np.sin(ang)], -1)
+        wg = _pwl(verts)
+        for p in (np.array([0.05, -0.1]), np.array([0.3, 0.2]),
+                  verts.mean(axis=0)):
+            phi, g = wg(p)
+            assert abs(phi.sum() - 1.0) < 1e-12
+            assert np.abs(g.sum(axis=0)).max() < 1e-10
+            # linear completeness: sum_j phi_j v_j = p
+            np.testing.assert_allclose(phi @ verts, p, atol=1e-12)
+            # gradient reproduces the identity map
+            np.testing.assert_allclose(g.T @ verts, np.eye(2), atol=1e-9)
+
+    def test_strain_linear_velocity_exact_pwl(self):
+        from mpas_tpu.cores.seaice.variational import (
+            build_variational_coeffs, strain_tensor_variational)
+        from mpas_tpu.mesh.planar import box_hex_mesh
+        m = box_hex_mesh(6, 6, 1000.0)
+        coeffs = build_variational_coeffs(m, basis="pwl")
+        xv = np.asarray(m.xVertex)
+        yv = np.asarray(m.yVertex)
+        # u = a x + b y, v = c x + d y -> e11 = a, e22 = d, e12 = (b+c)/2
+        a, b, c, d = 2e-6, -1e-6, 3e-6, 1.5e-6
+        u = jnp.asarray(a * xv + b * yv)
+        v = jnp.asarray(c * xv + d * yv)
+        e11, e22, e12 = strain_tensor_variational(m, coeffs, u, v)
+        nEoC = np.asarray(m.nEdgesOnCell)
+        interior = ~np.any(np.asarray(m.boundaryEdge)[
+            np.asarray(m.edgesOnCell)] > 0, axis=1) \
+            & (np.asarray(m.edgesOnCellMask).sum(-1) == nEoC)
+        for field, expect in ((e11, a), (e22, d), (e12, 0.5 * (b + c))):
+            vals = np.asarray(field)[interior]
+            mask = np.asarray(m.edgesOnCellMask)[interior] > 0
+            err = np.abs(vals[mask] - expect)
+            assert err.max() < 5e-2 * abs(expect) + 1e-9
+
+    def test_velocity_solver_runs_with_pwl(self):
+        from mpas_tpu.cores.seaice.variational import (
+            build_variational_coeffs, stress_divergence_variational)
+        from mpas_tpu.mesh.planar import box_hex_mesh
+        m = box_hex_mesh(6, 6, 1000.0)
+        coeffs = build_variational_coeffs(m, basis="pwl")
+        rng = np.random.default_rng(5)
+        s = jnp.asarray(rng.standard_normal((m.nCells, m.maxEdges)))
+        fu, fv = stress_divergence_variational(m, coeffs, s, s, 0.5 * s)
+        assert np.isfinite(np.asarray(fu)).all()
+        assert np.isfinite(np.asarray(fv)).all()
