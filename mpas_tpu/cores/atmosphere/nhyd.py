@@ -701,6 +701,29 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     rs_flux = -sums[..., 0]
     ts_flux = -sums[..., 1]
 
+    from mpas_tpu.kernels import acoustic_kernel_enabled
+    if acoustic_kernel_enabled():
+        # fused Pallas column kernel (mpas_tpu/kernels/acoustic.py): one
+        # VMEM pass per cell block for the rs/ts updates, implicit-w rhs,
+        # Thomas solve, Rayleigh damping and back-substitution
+        from mpas_tpu.kernels.acoustic import acoustic_cell_update
+        zz_int = to_interface(grid.zz, fzm, fzp)
+        rho_int = to_interface(rho_zz, fzm, fzp)
+        dss_int = jnp.pad(grid.dss, ((0, 0), (0, 1)))
+        rw_p, rho_pp, rtheta_pp, wwAvg = acoustic_cell_update(
+            nz, epssm, dts,
+            rho_pp0 + dts * tend_rho + rs_flux,
+            rtheta_pp0 + dts * tend_rt + ts_flux,
+            rw_p0, wwAvg0, tend_rw, rho_pp0, rtheta_pp0,
+            coefs.cofwz, coefs.cofwr, coefs.cofwt, coefs.coftz,
+            coefs.cofrz, rdzw, coefs.a_tri, coefs.alpha_tri,
+            coefs.gamma_tri, grid.zz, dss_int, rw_save - rw,
+            zz_int * rho_int * w)
+        return AcousticVars(ru_p=ru_p, rho_pp=rho_pp,
+                            rtheta_pp=rtheta_pp,
+                            rtheta_pp_old=rtheta_pp_old, rw_p=rw_p,
+                            ruAvg=ruAvg, wwAvg=wwAvg)
+
     rs = rho_pp0 + dts * tend_rho + rs_flux \
         - coefs.cofrz * resm * (rw_p0[:, 1:] - rw_p0[:, :-1])
     ts = rtheta_pp0 + dts * tend_rt + ts_flux \

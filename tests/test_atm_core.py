@@ -219,3 +219,51 @@ class TestWCurvatureAdjudication:
         w_r = np.asarray(out_r.state.w)
         w_p = np.asarray(out_p.state.w)
         assert np.abs(w_r - w_p).max() > 0.0
+
+
+class TestPallasAcousticKernel:
+    """The fused Pallas acoustic column kernel must reproduce the jnp
+    path (interpret mode on CPU; bitwise-compiled on TPU)."""
+
+    def test_kernel_matches_jnp_path(self, sphere_mesh_small):
+        from mpas_tpu import kernels as K
+        from mpas_tpu.cores.atmosphere import nhyd
+        grid, cfg, carry, s0 = _setup(sphere_mesh_small, 1, dt=1200.0)
+        st, dg = carry.state, carry.diag
+        sd = nhyd.solve_diagnostics(grid, cfg, st.u, st.rho_zz, 1200.0)
+        ur, vr = nhyd.reconstruct_cell_winds(grid, st.u)
+        tends = nhyd.compute_dyn_tend(
+            grid, cfg, 1, 1200.0, st.u, st.w, st.theta_m, st.rho_zz, sd,
+            dg.ru, dg.rw, dg.ru, dg.rw, st.theta_m, dg.rho_p,
+            dg.pressure_p, ur, vr, None)
+        tend_u, tend_rho, tend_theta, tend_w_raw, _, _ = tends
+        tend_rw = nhyd.set_smlstep_pert_variables(grid, tend_u, tend_w_raw)
+        coefs = nhyd.vert_imp_coefs(grid, cfg, 200.0, st.theta_m,
+                                    dg.exner, dg.rtheta_p)
+        av0 = nhyd.AcousticVars(
+            ru_p=jnp.zeros_like(st.u), rho_pp=jnp.zeros_like(st.rho_zz),
+            rtheta_pp=jnp.zeros_like(st.rho_zz),
+            rtheta_pp_old=jnp.zeros_like(st.rho_zz),
+            rw_p=jnp.zeros_like(st.w), ruAvg=jnp.zeros_like(st.u),
+            wwAvg=jnp.zeros_like(st.w))
+
+        def one(av):
+            return nhyd.acoustic_step(
+                grid, cfg, coefs, av, 200.0, st.theta_m, dg.exner, st.w,
+                st.rho_zz, dg.rw, dg.rw, dg.ru, dg.ru,
+                tend_u, tend_rho, tend_theta, tend_rw)
+
+        try:
+            K.override_acoustic_kernel(False)
+            ref = one(av0)
+            ref2 = one(ref)
+            K.override_acoustic_kernel(True)
+            got = one(av0)
+            got2 = one(got)
+        finally:
+            K.override_acoustic_kernel(None)
+        for name in ("rw_p", "rho_pp", "rtheta_pp", "wwAvg", "ru_p"):
+            a = np.asarray(getattr(ref2, name))
+            b = np.asarray(getattr(got2, name))
+            scale = np.abs(a).max() + 1e-300
+            assert np.abs(a - b).max() < 1e-9 * scale, name
