@@ -151,8 +151,17 @@ class TestBoxExperiment:
         out = ridge(cfg, st2)
         assert float(jnp.max(jnp.sum(out.iceAreaCategory, axis=-1))) \
             <= 1.0 + 1e-12
-        assert np.allclose(np.asarray(out.iceVolumeCategory),
-                           np.asarray(st2.iceVolumeCategory))
+        # mechanical redistribution moves volume between categories but
+        # conserves it per cell (ref ice_mechred.F90 ridge_shift :1027)
+        assert np.allclose(
+            np.asarray(jnp.sum(out.iceVolumeCategory, axis=-1)),
+            np.asarray(jnp.sum(st2.iceVolumeCategory, axis=-1)))
+        # ridging never thins: redistributed ice lands in categories at
+        # least as thick as its source
+        a_out = np.asarray(out.iceAreaCategory)
+        assert np.all(np.sum(a_out, axis=-1)
+                      <= np.sum(np.asarray(st2.iceAreaCategory), axis=-1)
+                      + 1e-12)
 
     def test_thermo_growth_in_cold_freezing_ocean(self, box):
         """Cold air + ocean losing heat => ice grows."""
