@@ -100,7 +100,7 @@ def _edge_wind_tendency(mesh, du_cell, dv_cell):
 
 def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
                  state, diag, phys: PhysicsState, dt,
-                 gmt_hours=12.0, julian_day=172.0):
+                 gmt_hours=12.0, julian_day=172.0, gwd_statics=None):
     """Run the suite once before dynamics; returns (new dycore state fields
     theta_m/scalars/u, new PhysicsState).
 
@@ -179,11 +179,30 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
         u_pbl, v_pbl, th_pbl, qv_pbl, hpbl = ysu(
             u_c, v_c, th_in, qv, rho, z_mid, dz, sfc, dt)
 
-    # --- GWDO (optional) ---
+    # --- GWDO (ref: driver_gwdo -> module_bl_gwdo.F gwdo2d) ---
     if cfg.config_gwdo_scheme == "on":
-        n_bv = 0.01
-        u_pbl, v_pbl = lsm_mod.gwdo(u_pbl, v_pbl, rho, dz, n_bv,
-                                    cfg.gwdo_var2d, dt)
+        from mpas_tpu.cores.atmosphere.physics.gwdo import gwdo
+        if gwd_statics is not None:
+            var2d = gwd_statics["var2d"]
+            oc1 = gwd_statics["con"]
+            oa4 = jnp.stack([gwd_statics[f"oa{i}"] for i in (1, 2, 3, 4)],
+                            axis=1)
+            ol4 = jnp.stack([gwd_statics[f"ol{i}"] for i in (1, 2, 3, 4)],
+                            axis=1)
+        else:
+            # uniform-statistics fallback (isotropic hills of height
+            # sigma = cfg.gwdo_var2d, convexity 1)
+            ones = jnp.ones_like(phys.tsk)
+            var2d = cfg.gwdo_var2d * ones
+            oc1 = ones
+            oa4 = jnp.zeros((ones.shape[0], 4), ones.dtype)
+            ol4 = 0.5 * jnp.ones((ones.shape[0], 4), ones.dtype)
+        dx_cell = 2.0 * jnp.sqrt(m.areaCell / jnp.pi)
+        dudt, dvdt, _dusfc, _dvsfc = gwdo(
+            u_pbl, v_pbl, t_rad, qv_pbl, p, z_mid, dz,
+            var2d, oc1, oa4, ol4, dx_cell, dt)
+        u_pbl = u_pbl + dt * dudt
+        v_pbl = v_pbl + dt * dvdt
 
     # --- convection (ref: driver_convection) ---
     if cfg.config_conv_scheme == "tiedtke":

@@ -232,6 +232,32 @@ class TestManagerCoupled:
                     / jnp.max(st.theta_m))
         assert rel < 0.2
 
+    def test_suite_with_gwdo_on(self):
+        """GWDO path through physics_step (uniform-statistics fallback;
+        ref: mpas_atmphys_driver_gwdo.F -> module_bl_gwdo.F)."""
+        import __graft_entry__ as ge
+        from mpas_tpu.cores.atmosphere.physics.manager import (
+            PhysicsConfig, init_physics_state, physics_step)
+        from mpas_tpu.ops.reconstruct import build_reconstruct_coeffs
+
+        grid, gridj, cfg, carry, state, diag = ge._atm_setup(np.float64)
+        m = gridj.mesh
+        coeffs = build_reconstruct_coeffs(m)
+        pcfg = PhysicsConfig(config_gwdo_scheme="on", gwdo_var2d=300.0)
+        nz = carry.state.theta_m.shape[1]
+        st = carry.state
+        if st.scalars.shape[-1] < 2:
+            sc = jnp.concatenate(
+                [jnp.maximum(st.scalars, 0.0),
+                 jnp.zeros_like(st.scalars[..., :1])], axis=-1)
+            st = st.replace(scalars=sc)
+        phys = init_physics_state(m.nCells, nz)
+        th1, sc1, u1, phys1 = physics_step(
+            gridj, pcfg, m, coeffs, st, carry.diag, phys, 300.0)
+        assert bool(jnp.all(jnp.isfinite(u1)))
+        # drag must change the edge winds somewhere
+        assert float(jnp.max(jnp.abs(u1 - st.u))) > 0.0
+
 
 class TestSuiteInRunLoop:
     def test_coupled_suite_run_via_hooks(self):
