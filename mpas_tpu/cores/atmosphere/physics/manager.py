@@ -45,6 +45,7 @@ class PhysicsConfig:
     config_lsm_scheme: str = "slab"          # "slab" | "noah"
     config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
     config_gwdo_scheme: str = "off"
+    config_cldfra_scheme: str = "off"        # "off" | "cldfra3"
     roughness_m: float = 0.1
     albedo: float = 0.2
     gwdo_var2d: float = 100.0
@@ -122,6 +123,21 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
 
     # cell-centered winds (ref: uReconstruct{Zonal,Meridional})
     _vx, _vy, _vz, u_c, v_c = reconstruct(m, recon_coeffs, state.u)
+
+    # --- cloudiness before radiation (ref: driver_cloudiness ->
+    # module_mp_thompson_cldfra3.F cal_cldfra3): the RH-based fraction
+    # seeds radiation-visible condensate in partly-cloudy decks
+    if cfg.config_cldfra_scheme == "cldfra3":
+        from mpas_tpu.cores.atmosphere.physics.cldfra3 import cal_cldfra3
+        qi_s = jnp.maximum(state.scalars[..., 3], 0.0) \
+            if state.scalars.shape[-1] > 3 else jnp.zeros_like(qv)
+        qs_s = jnp.maximum(state.scalars[..., 4], 0.0) \
+            if state.scalars.shape[-1] > 4 else jnp.zeros_like(qv)
+        xland = jnp.ones_like(phys.tsk)
+        gridkm = 2.0 * jnp.sqrt(m.areaCell / jnp.pi) * 1e-3
+        _cldfra, qc_rad, _qi_rad = cal_cldfra3(
+            qv, qc, qi_s, qs_s, p, t, rho, dz, xland, gridkm)
+        qc = qc_rad + _qi_rad     # radiation sees seeded condensate
 
     # --- radiation on its alarm (held constant in between) ---
     lat = m.latCell if m.on_sphere else jnp.zeros_like(m.xCell)
