@@ -46,6 +46,7 @@ class PhysicsConfig:
     config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
     config_gwdo_scheme: str = "off"
     config_cldfra_scheme: str = "off"        # "off" | "cldfra3"
+    config_sfclay_scheme: str = "mm5"        # "mm5" | "mynn"
     roughness_m: float = 0.1
     albedo: float = 0.2
     gwdo_var2d: float = 100.0
@@ -168,9 +169,15 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
         qsfc = noah.noah_surface_moisture(phys.tsk, p[:, 0], beta0)
     else:
         qsfc = lsm_mod.surface_moisture(phys.tsk, p[:, 0])
-    sfc = sfclay(u_c[:, 0], v_c[:, 0], t_rad[:, 0] / exner[:, 0], qv[:, 0],
-                 p[:, 0], rho[:, 0], z_mid[:, 0], phys.tsk, qsfc,
-                 cfg.roughness_m)
+    if cfg.config_sfclay_scheme == "mynn":
+        from mpas_tpu.cores.atmosphere.physics.mynn_sfc import mynn_sfclay
+        sfc = mynn_sfclay(u_c[:, 0], v_c[:, 0], t_rad[:, 0] / exner[:, 0],
+                          qv[:, 0], p[:, 0], rho[:, 0], z_mid[:, 0],
+                          phys.tsk, qsfc, z0_land=cfg.roughness_m)
+    else:
+        sfc = sfclay(u_c[:, 0], v_c[:, 0], t_rad[:, 0] / exner[:, 0],
+                     qv[:, 0], p[:, 0], rho[:, 0], z_mid[:, 0], phys.tsk,
+                     qsfc, cfg.roughness_m)
 
     # --- LSM: advance skin temperature (ref: driver_lsm) ---
     if cfg.config_lsm_scheme == "noah":
