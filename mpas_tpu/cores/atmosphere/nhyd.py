@@ -123,8 +123,8 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
         * mesh.invAreaCell[:, None]
 
     if reconstruct_v or v_prev is None:
-        v = jnp.sum(mesh.weightsOnEdge[..., None] * u[mesh.edgesOnEdge],
-                    axis=1)
+        from mpas_tpu.ops.stencils import tangential_cell_assembled
+        v = tangential_cell_assembled(mesh, u)
     else:
         v = v_prev
 
@@ -267,10 +267,12 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     wduz = flux3_vertical(u, rw_edge, fzm, fzp, 1.0)
     tend_u = -rdzw * (wduz[:, 1:] - wduz[:, :-1])
 
-    # nonlinear Coriolis q (no h_edge factor, ref :4803-4813)
-    eoe = mesh.edgesOnEdge
-    workpv = 0.5 * (diag.pv_edge[:, None, :] + diag.pv_edge[eoe])
-    q = jnp.sum(mesh.weightsOnEdge[..., None] * u[eoe] * workpv, axis=1)
+    # nonlinear Coriolis q (no h_edge factor, ref :4803-4813) via the
+    # cell-assembled TRiSK operator — the 12-wide edgesOnEdge gathers here
+    # were the single largest HBM cost of the whole step (two 153 MB
+    # gathers per dyn_tend at 120 km)
+    from mpas_tpu.ops.stencils import trisk_q_cell_assembled
+    q = trisk_q_cell_assembled(mesh, u, diag.pv_edge)
 
     if not DBG["uvert"]:
         tend_u = tend_u * 0.0

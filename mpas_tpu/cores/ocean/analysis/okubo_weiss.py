@@ -37,7 +37,8 @@ class OkuboWeiss:
         #   S_n ~ divergence-weighted anisotropy, S_s ~ vorticity-conjugate.
         # Use the standard C-grid estimate: S_n^2 + S_s^2 ~ div^2 + shear^2
         # with shear from the tangential circulation residual.
-        tang = jnp.sum(m.weightsOnEdge[..., None] * u[m.edgesOnEdge], axis=1)
+        from mpas_tpu.ops.stencils import tangential_cell_assembled
+        tang = tangential_cell_assembled(m, u)
         shear_v = jnp.sum(m.curlW[..., None] * tang[m.edgesOnVertex],
                           axis=1) * m.invAreaTriangle[:, None]
         shear = vertex_to_cell_kite(m, shear_v)

@@ -208,8 +208,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
     pv_vertex = (f_part + vorticity) / h_vertex
     pv_edge = 0.5 * (pv_vertex[v1] + pv_vertex[v2])
     if cfg.config_apvm_upwinding > 0.0:
-        vt = jnp.sum(mesh.weightsOnEdge[..., None] * u[mesh.edgesOnEdge],
-                     axis=1)
+        from mpas_tpu.ops.stencils import tangential_cell_assembled
+        vt = tangential_cell_assembled(mesh, u)
         gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
         pv_edge = pv_edge - cfg.config_apvm_upwinding * vt * dt * gradPVt
 
@@ -223,9 +223,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
         [jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1), axis=1)
     z_mid = ssh[:, None] - depth_above - 0.5 * h
 
-    eoe = mesh.edgesOnEdge
-    workpv = 0.5 * (pv_edge[:, None, :] + pv_edge[eoe])
-    q = jnp.sum(mesh.weightsOnEdge[..., None] * uh[eoe] * workpv, axis=1)
+    from mpas_tpu.ops.stencils import trisk_q_cell_assembled
+    q = trisk_q_cell_assembled(mesh, uh, pv_edge)
 
     grad = lambda f: (f[c2] - f[c1]) * mesh.invDcEdge[:, None] * not_bnd
     rho_edge = 0.5 * (rho[c1] + rho[c2])
@@ -429,11 +428,10 @@ def _fperp(mesh: Mesh, v, f_at_edges):
     """Sum_j w_j * f(eoe) * v(eoe): the +f v_perp tangential reconstruction
     (ref: ocn_fuperp, mpas_ocn_diagnostics.F:1062; also the CoriolisTerm of
     the barotropic subcycle, mpas_ocn_time_integration_split.F:820-828)."""
-    eoe = mesh.edgesOnEdge
+    from mpas_tpu.ops.stencils import tangential_cell_assembled
     if v.ndim == 1:
-        return jnp.sum(mesh.weightsOnEdge * v[eoe] * f_at_edges[eoe], axis=1)
-    return jnp.sum(mesh.weightsOnEdge[..., None] * v[eoe]
-                   * f_at_edges[eoe][..., None], axis=1)
+        return tangential_cell_assembled(mesh, v * f_at_edges)
+    return tangential_cell_assembled(mesh, v * f_at_edges[:, None])
 
 
 def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,

@@ -71,10 +71,7 @@ def compute_tend(mesh: Mesh, cfg: SWConfig, state: SWState,
 
     # momentum: q + grad(KE + g(h+h_s))  (ref: :477-498)
     # q(e) = sum_j w_j * u_j * 0.5*(pv_e + pv_j) * h_edge_j
-    eoe = mesh.edgesOnEdge
-    workpv = 0.5 * (diag.pv_edge[:, None] + diag.pv_edge[eoe])
-    q = jnp.sum(mesh.weightsOnEdge * u[eoe] * workpv * diag.h_edge[eoe],
-                axis=1)
+    q = st.trisk_q_cell_assembled(mesh, u * diag.h_edge, diag.pv_edge)
     bernoulli = diag.ke + gravity * (h + h_s)
     tend_u = q - st.cell_gradient_n(mesh, bernoulli)
 

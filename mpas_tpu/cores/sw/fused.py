@@ -67,7 +67,8 @@ def stage_tendencies(mesh: Mesh, cfg: SWConfig, state: SWState, dt, h_s):
     pv_vertex = (mesh.fVertex + vorticity) / h_vertex
 
     # ---- eoe#1: tangential velocity (needed for APVM) ---------------------
-    v_t = jnp.sum(mesh.weightsOnEdge * u[mesh.edgesOnEdge], axis=1)
+    from mpas_tpu.ops.stencils import tangential_cell_assembled
+    v_t = tangential_cell_assembled(mesh, u)
 
     # ---- voe: pv_vertex -> edges (mean + tangential gradient) -------------
     if visc2 > 0.0:
@@ -97,12 +98,8 @@ def stage_tendencies(mesh: Mesh, cfg: SWConfig, state: SWState, dt, h_s):
     pv_edge = pv_edge - apvm * u * dt * gradPVn
 
     # ---- eoe#2: the q (PV flux) term --------------------------------------
-    s2 = uhe * pv_edge
-    pair = jnp.stack([uhe, s2], axis=1)                       # (nE, 2)
-    gq = pair[mesh.edgesOnEdge]                               # (nE, mE2, 2)
-    w = mesh.weightsOnEdge
-    q = 0.5 * (pv_edge * jnp.sum(w * gq[..., 0], axis=1)
-               + jnp.sum(w * gq[..., 1], axis=1))
+    from mpas_tpu.ops.stencils import trisk_q_cell_assembled
+    q = trisk_q_cell_assembled(mesh, uhe, pv_edge)
 
     tend_u = q - gradB
     if visc2 > 0.0:

@@ -349,6 +349,10 @@ def build_mesh(cell_xyz, vertex_xyz, vertices_on_cell, *, on_sphere,
     edgesOnEdge = np.full((nEdges, maxEdges2), PAD, dtype=np.int64)
     weightsOnEdge = np.zeros((nEdges, maxEdges2))
     nEdgesOnEdge = np.zeros(nEdges, dtype=np.int64)
+    # cell-assembled factorization of the same operator (see mesh.py):
+    # triskM[c, p, i] accumulates w(e_p, e_i) for edges of cell c
+    triskM = np.zeros((nCells, maxEdges, maxEdges))
+    edgeSlotOnCell = np.zeros((nEdges, 2), dtype=np.int64)
 
     # index of cell c within cellsOnVertex[v] for kite lookup
     def kite_of(v_arr, c_arr):
@@ -384,6 +388,9 @@ def build_mesh(cell_xyz, vertex_xyz, vertices_on_cell, *, on_sphere,
             edgesOnEdge[:, col] = np.where(valid, ep, PAD)
             weightsOnEdge[:, col] = np.where(valid, w, 0.0)
             nEdgesOnEdge += valid.astype(np.int64)
+            sel = np.where(valid)[0]
+            triskM[cc[sel], j0[sel], jj[sel]] = w[sel]
+        edgeSlotOnCell[:, side] = np.where(has, j0, 0)
 
     # --- assemble ----------------------------------------------------------
     r = lambda x: np.asarray(x, dtype=dtype)
@@ -417,6 +424,7 @@ def build_mesh(cell_xyz, vertex_xyz, vertices_on_cell, *, on_sphere,
         kiteAreasOnVertex=r(kiteAreasOnVertex),
         kiteAreasOnCell=r(kiteAreasOnCell),
         angleEdge=r(angleEdge), weightsOnEdge=r(weightsOnEdge),
+        triskM=r(triskM), edgeSlotOnCell=i(edgeSlotOnCell),
         meshDensity=r(mesh_density if mesh_density is not None else ones_c),
         divW=r(edgeSignOnCell * dvEdge[edgesOnCell]),
         keW=r(0.25 * edgesOnCellMask

@@ -43,6 +43,32 @@ def load_mesh(path: str) -> Mesh:
             * (kw["dcEdge"] * kw["dvEdge"])[kw["edgesOnCell"]]
         kw["curlW"] = kw["edgeSignOnVertex"] \
             * kw["dcEdge"][kw["edgesOnVertex"]]
+    if "triskM" not in kw:
+        # cell-assembled TRiSK fields added after a cache was written:
+        # reconstruct from weightsOnEdge / edgesOnEdge connectivity
+        eoc = kw["edgesOnCell"].astype(np.int64)
+        coe = kw["cellsOnEdge"].astype(np.int64)
+        nec = kw["nEdgesOnCell"].astype(np.int64)
+        nE = coe.shape[0]
+        nC, mE = eoc.shape
+        eids = np.arange(nE)
+        slot = np.zeros((nE, 2), dtype=np.int64)
+        triskM = np.zeros((nC, mE, mE))
+        for side in range(2):
+            c = coe[:, side]
+            cc = np.maximum(c, 0)
+            j0 = np.argmax(eoc[cc] == eids[:, None], axis=1)
+            slot[:, side] = j0
+            necc = np.maximum(nec[cc], 1)
+            for j in range(1, mE):
+                valid = (c >= 0) & (j <= nec[cc] - 1)
+                jj = (j0 + j) % necc
+                col = side * (mE - 1) + (j - 1)
+                w = kw["weightsOnEdge"][:, col]
+                sel = np.where(valid)[0]
+                triskM[cc[sel], j0[sel], jj[sel]] = w[sel]
+        kw["triskM"] = triskM
+        kw["edgeSlotOnCell"] = slot.astype(np.int32)
     return Mesh(**meta, **kw)
 
 

@@ -95,6 +95,14 @@ class Mesh:
     kiteAreasOnCell: Any      # (nCells, maxEdges) kite of (cell, verticesOnCell[j])
     angleEdge: Any            # (nEdges,) angle of normal from local east
     weightsOnEdge: Any        # (nEdges, maxEdges2) TRiSK tangential weights
+    # cell-assembled TRiSK factorization: the same tangential operator as
+    # weightsOnEdge/edgesOnEdge but expressed per cell, so the hot
+    # 12-wide edge gather becomes one 6-wide cell gather + a static
+    # (maxEdges x maxEdges) contraction + two row gathers.
+    # v(e)  = G[c1(e), slot1(e)] + G[c2(e), slot2(e)],
+    # G[c,p] = sum_i triskM[c,p,i] * x[edgesOnCell[c,i]]
+    triskM: Any               # (nCells, maxEdges, maxEdges), scale-invariant
+    edgeSlotOnCell: Any       # (nEdges, 2) int32: slot of e in its cells
     meshDensity: Any          # (nCells,)
 
     # --- precomputed reciprocals (HBM-bandwidth: avoid divides in kernels) ---
@@ -145,6 +153,7 @@ class Mesh:
             areaCell=self.areaCell * r * r,
             areaTriangle=self.areaTriangle * r * r,
             kiteAreasOnVertex=self.kiteAreasOnVertex * r * r,
+            kiteAreasOnCell=self.kiteAreasOnCell * r * r,
             invAreaCell=self.invAreaCell / (r * r),
             invAreaTriangle=self.invAreaTriangle / (r * r),
         )

@@ -101,6 +101,44 @@ def tangential_velocity(mesh: Mesh, u_edge):
     return jnp.sum(_w(mesh.weightsOnEdge, ue.ndim - 1) * ue, axis=1)
 
 
+def tangential_cell_assembled(mesh: Mesh, x_edge):
+    """The same TRiSK tangential operator, cell-assembled.
+
+    Algebraically identical to `tangential_velocity` (the weights were
+    built per cell; see mesh/build.py), but the 12-wide edgesOnEdge
+    gather (the dycore's dominant HBM cost on TPU) becomes one 6-wide
+    edgesOnCell gather + a static (maxEdges x maxEdges) contraction +
+    two row gathers: ~3x less gather traffic, MXU-friendly contraction.
+
+    x_edge: (nE,) or (nE, K). Returns the same shape."""
+    g = x_edge[mesh.edgesOnCell]                      # (nC, mE, ...)
+    if g.ndim == 2:
+        G = jnp.einsum("cpi,ci->cp", mesh.triskM, g)
+        Gf = G.reshape(-1)
+    else:
+        G = jnp.einsum("cpi,cik->cpk", mesh.triskM, g)
+        Gf = G.reshape((-1,) + g.shape[2:])
+    mE = mesh.maxEdges
+    f1 = mesh.cellsOnEdge[:, 0] * mE + mesh.edgeSlotOnCell[:, 0]
+    f2 = mesh.cellsOnEdge[:, 1] * mE + mesh.edgeSlotOnCell[:, 1]
+    return Gf[f1] + Gf[f2]
+
+
+def trisk_q_cell_assembled(mesh: Mesh, u_weighted, pv_edge):
+    """Nonlinear Coriolis q(e) = sum_j w(e,j) * u_w(e_j) * 0.5*(pv(e)+pv(e_j))
+    via the cell-assembled operator: q = 0.5*(pv * T(u_w) + T(u_w * pv))
+    (exact algebra; ref loop mpas_atm_time_integration.F:4803-4813).
+    u_weighted is u (atm) or u*h_edge (sw) etc."""
+    if u_weighted.ndim == 1:
+        cat = jnp.stack([u_weighted, u_weighted * pv_edge], axis=-1)
+        t = tangential_cell_assembled(mesh, cat)
+        return 0.5 * (pv_edge * t[..., 0] + t[..., 1])
+    cat = jnp.concatenate([u_weighted, u_weighted * pv_edge], axis=-1)
+    t = tangential_cell_assembled(mesh, cat)
+    k = u_weighted.shape[-1]
+    return 0.5 * (pv_edge * t[..., :k] + t[..., k:])
+
+
 def kinetic_energy_cell(mesh: Mesh, u_edge):
     """KE at cells: (1/A) sum_j 0.25*dc*dv*u^2 over edgesOnCell."""
     ue = u_edge[mesh.edgesOnCell]

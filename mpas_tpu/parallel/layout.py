@@ -402,6 +402,16 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
                                              vert_slots, cov_miss)
     fields["weightsOnEdge"] = local_rows(mesh.weightsOnEdge, edge_slots,
                                          eoe_miss)
+    # cell-assembled TRiSK: per-cell matrix rides cell rows (weights are
+    # slot-indexed, unaffected by reindexing); zero rows of deep-halo
+    # cells with missing edges so their contraction contributes nothing
+    triskM_l = take1(mesh.triskM, cell_slots)
+    triskM_l = np.where(eoc_miss[..., :, None], 0.0, triskM_l)
+    triskM_l = np.where(eoc_miss[..., None, :], 0.0, triskM_l)
+    fields["triskM"] = triskM_l
+    # slot positions are invariant under remapping (edge order within a
+    # cell's edgesOnCell row is preserved)
+    fields["edgeSlotOnCell"] = take1(mesh.edgeSlotOnCell, edge_slots)
     # gradient across an edge with a missing cell would be garbage; the
     # boundaryEdge mask already zeroes real boundaries — missing-cell edges
     # are deep-halo only, values there are garbage by design.
@@ -409,7 +419,7 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
     int_fields = {"cellsOnEdge", "verticesOnEdge", "edgesOnCell",
                   "nEdgesOnCell", "cellsOnCell", "verticesOnCell",
                   "cellsOnVertex", "edgesOnVertex", "edgesOnEdge",
-                  "nEdgesOnEdge"}
+                  "nEdgesOnEdge", "edgeSlotOnCell"}
     for k, v in fields.items():
         if k in int_fields:
             fields[k] = v.astype(np.int32)
