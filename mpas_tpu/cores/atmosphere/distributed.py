@@ -83,6 +83,16 @@ def shard_atm_grid(grid: AtmGrid, part, halo_depth: int = ATM_HALO_DEPTH
                          dtype=np.int32)
     adv_mask = np.zeros(adv_local.shape, dtype=bool)
     advC = np.asarray(grid.advCellsForEdge)
+    # masks for the factored-advection tensors (cell stencil columns and
+    # per-side edge weights on missing-neighbor slots)
+    have_factored = grid.d2_bmat is not None
+    if have_factored:
+        cocG = np.asarray(grid.mesh.cellsOnCell)
+        coeG = np.asarray(grid.mesh.cellsOnEdge)
+        nCl = cell_slots.shape[1]
+        nEl = edge_slots.shape[1]
+        d2_cell_mask = np.zeros((Pn, nCl, cocG.shape[1] + 1), dtype=bool)
+        d2w_mask = np.zeros((Pn, nEl, 2), dtype=bool)
     for p in range(Pn):
         g2l = {int(g): i for i, g in enumerate(cell_slots[p]) if g >= 0}
         rows = edge_slots[p]
@@ -93,6 +103,21 @@ def shard_atm_grid(grid: AtmGrid, part, halo_depth: int = ATM_HALO_DEPTH
         dead = (rows < 0)[:, None] | (lf < 0)
         adv_local[p] = np.where(dead, 0, lf)
         adv_mask[p] = dead
+        if have_factored:
+            crows = cell_slots[p]
+            subc = cocG[np.maximum(crows, 0)]
+            flatc = subc.ravel()
+            lc = np.fromiter((g2l.get(int(x), -1) for x in flatc),
+                             dtype=np.int64,
+                             count=flatc.size).reshape(subc.shape)
+            cmiss = (crows < 0)[:, None] | (lc < 0)
+            d2_cell_mask[p] = np.concatenate(
+                [(crows < 0)[:, None], cmiss], axis=1)
+            for s in range(2):
+                ce = coeG[np.maximum(rows, 0), s]
+                le = np.fromiter((g2l.get(int(x), -1) for x in ce),
+                                 dtype=np.int64, count=ce.size)
+                d2w_mask[p, :, s] = (rows < 0) | (le < 0)
 
     def sc(x, kind):
         return scatter_field(smesh, np.asarray(x), kind)
@@ -101,6 +126,13 @@ def shard_atm_grid(grid: AtmGrid, part, halo_depth: int = ATM_HALO_DEPTH
     adv_coefs3 = sc(grid.adv_coefs_3rd, "edge")
     adv_coefs = np.where(adv_mask, 0.0, adv_coefs)
     adv_coefs3 = np.where(adv_mask, 0.0, adv_coefs3)
+    if have_factored:
+        d2_bmat_l = np.where(d2_cell_mask[:, :, None, :], 0.0,
+                             sc(grid.d2_bmat, "cell"))
+        d2w_l = np.where(d2w_mask[..., None], 0.0, sc(grid.d2w, "edge"))
+    else:
+        d2_bmat_l = None
+        d2w_l = None
 
     local_grid = AtmGrid(
         mesh=smesh.mesh,
@@ -110,6 +142,17 @@ def shard_atm_grid(grid: AtmGrid, part, halo_depth: int = ATM_HALO_DEPTH
         zb_cell=sc(grid.zb_cell, "cell"), zb3_cell=sc(grid.zb3_cell, "cell"),
         advCellsForEdge=adv_local, adv_coefs=adv_coefs,
         adv_coefs_3rd=adv_coefs3,
+        d2_bmat=d2_bmat_l, d2w=d2w_l, adv_beta=grid.adv_beta,
+        # edge-valued content on cell rows: row reorder only; dead slots
+        # are killed by the masked edgeSignOnCell of the sharded mesh
+        d2w_own=(sc(grid.d2w_own, "cell")
+                 if grid.d2w_own is not None else None),
+        d2w_opp=(sc(grid.d2w_opp, "cell")
+                 if grid.d2w_opp is not None else None),
+        adv_sside=(sc(grid.adv_sside, "cell")
+                   if grid.adv_sside is not None else None),
+        dv_cell=(sc(grid.dv_cell, "cell")
+                 if grid.dv_cell is not None else None),
         defc_a=sc(grid.defc_a, "cell"), defc_b=sc(grid.defc_b, "cell"),
         recon_zonal=sc(grid.recon_zonal, "cell"),
         recon_merid=sc(grid.recon_merid, "cell"),

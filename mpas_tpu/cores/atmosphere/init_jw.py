@@ -21,7 +21,10 @@ from mpas_tpu.constants import a as EARTH_RADIUS
 from mpas_tpu.constants import cp, cv, gravity, omega, p0, pii, rgas
 from mpas_tpu.mesh.mesh import Mesh
 from mpas_tpu.cores.atmosphere.config import AtmConfig
-from mpas_tpu.cores.atmosphere.setup import (AtmGrid, build_adv_coefs,
+from mpas_tpu.cores.atmosphere.setup import (AtmGrid, build_adv_cell_tensors,
+                                             build_adv_coefs,
+                                             build_adv_factored,
+                                             build_cell_fit_matrices,
                                              build_deformation_weights,
                                              build_deriv_two, build_dss,
                                              build_reconstruct_weights,
@@ -180,9 +183,12 @@ def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int):
                         fCell=fC.astype(dtype))
 
     # --- advection / deformation / omega-metric coefficients ---------------
-    deriv_two = build_deriv_two(mesh)
+    bmats = build_cell_fit_matrices(mesh)
+    deriv_two = build_deriv_two(mesh, bmats)
     advCells, adv_coefs, adv_coefs_3rd, _ = build_adv_coefs(
         mesh, deriv_two, cfg.config_coef_3rd_order)
+    d2_bmat, d2w = build_adv_factored(mesh, bmats)
+    d2w_own, d2w_opp, s_cp, dv_cell = build_adv_cell_tensors(mesh)
     defc_a, defc_b = build_deformation_weights(mesh)
     recon_zonal, recon_merid = build_reconstruct_weights(mesh)
     zb_cell, zb3_cell = build_zb(mesh, vg, zgrid, deriv_two,
@@ -243,6 +249,10 @@ def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int):
         zb_cell=r(zb_cell), zb3_cell=r(zb3_cell),
         advCellsForEdge=advCells, adv_coefs=r(adv_coefs),
         adv_coefs_3rd=r(adv_coefs_3rd),
+        d2_bmat=r(d2_bmat), d2w=r(d2w),
+        adv_beta=float(cfg.config_coef_3rd_order),
+        d2w_own=r(d2w_own), d2w_opp=r(d2w_opp), adv_sside=r(s_cp),
+        dv_cell=r(dv_cell),
         defc_a=r(defc_a), defc_b=r(defc_b),
         recon_zonal=r(recon_zonal), recon_merid=r(recon_merid),
         rho_base=r(rho_base), theta_base=r(theta_base),

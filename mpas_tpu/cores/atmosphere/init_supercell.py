@@ -20,7 +20,10 @@ import numpy as np
 from mpas_tpu.constants import cp, cv, gravity, p0, pii, rgas
 from mpas_tpu.mesh.mesh import Mesh
 from mpas_tpu.cores.atmosphere.config import AtmConfig
-from mpas_tpu.cores.atmosphere.setup import (AtmGrid, build_adv_coefs,
+from mpas_tpu.cores.atmosphere.setup import (AtmGrid, build_adv_cell_tensors,
+                                             build_adv_coefs,
+                                             build_adv_factored,
+                                             build_cell_fit_matrices,
                                              build_deformation_weights,
                                              build_deriv_two, build_dss,
                                              build_reconstruct_weights,
@@ -200,9 +203,12 @@ def init_supercell(mesh: Mesh, cfg: AtmConfig, case: int = 5):
                         fCell=np.zeros(nC, dtype=dtype))
 
     # ---- static coefficient fields -----------------------------------------
-    deriv_two = build_deriv_two(mesh)
+    bmats = build_cell_fit_matrices(mesh)
+    deriv_two = build_deriv_two(mesh, bmats)
     advCells, adv_coefs, adv_coefs_3rd, _ = build_adv_coefs(
         mesh, deriv_two, cfg.config_coef_3rd_order)
+    d2_bmat, d2w = build_adv_factored(mesh, bmats)
+    d2w_own, d2w_opp, s_cp, dv_cell = build_adv_cell_tensors(mesh)
     defc_a, defc_b = build_deformation_weights(mesh)
     recon_zonal, recon_merid = build_reconstruct_weights(mesh)
     zb_cell, zb3_cell = build_zb(mesh, vg, zgrid, deriv_two,
@@ -227,6 +233,10 @@ def init_supercell(mesh: Mesh, cfg: AtmConfig, case: int = 5):
         zb_cell=r(zb_cell), zb3_cell=r(zb3_cell),
         advCellsForEdge=advCells, adv_coefs=r(adv_coefs),
         adv_coefs_3rd=r(adv_coefs_3rd),
+        d2_bmat=r(d2_bmat), d2w=r(d2w),
+        adv_beta=float(cfg.config_coef_3rd_order),
+        d2w_own=r(d2w_own), d2w_opp=r(d2w_opp), adv_sside=r(s_cp),
+        dv_cell=r(dv_cell),
         defc_a=r(defc_a), defc_b=r(defc_b),
         recon_zonal=r(recon_zonal), recon_merid=r(recon_merid),
         rho_base=r(rb), theta_base=r(tb), rtheta_base=r(rtb),

@@ -175,7 +175,12 @@ def advective_flux_edge(grid: AtmGrid, field_cell, ru_for_sign):
     (ref: the adv_coefs flux loops :5020-5035, :5199-5214).
     flux[e,k] = sum_j (adv_coefs[e,j] + sign(ru[e,k])*adv_coefs_3rd[e,j])
                 * field[advCells[e,j], k]
-    """
+    Dispatches to the cell-assembled factorization (advection.py) when the
+    grid carries the factored tensors."""
+    if grid.d2_bmat is not None:
+        from mpas_tpu.cores.atmosphere.advection import edge_value_parts
+        base, third = edge_value_parts(grid, field_cell)
+        return base + jnp.sign(ru_for_sign) * third
     g = field_cell[grid.advCellsForEdge]                # (nE, N_ADV, K)
     base = jnp.sum(grid.adv_coefs[..., None] * g, axis=1)
     third = jnp.sum(grid.adv_coefs_3rd[..., None] * g, axis=1)
@@ -357,11 +362,23 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     tend_u = tend_u + tend_u_euler
 
     # --- w tendency (ref :5017-5233) ----------------------------------------
-    # horizontal advection of w at interfaces
+    # horizontal advection of w at interfaces; theta advection batched into
+    # the same cell-assembled pass (both gathers share rows — see
+    # advection.advective_tendencies_cell)
     ru_int = to_interface(ru, fzm, fzp)                  # (nE, nz+1)
-    flux_w = advective_flux_edge(grid, w, ru_int)        # (nE, nz+1)
-    gw = (ru_int * flux_w)[mesh.edgesOnCell]             # (nC, mE, nz+1)
-    tend_w = -jnp.sum(mesh.edgeSignOnCell[..., None] * gw, axis=1)
+    if grid.d2w_own is not None:
+        from mpas_tpu.cores.atmosphere.advection import (
+            advective_tendencies_cell)
+        tend_w, tend_theta_adv = advective_tendencies_cell(
+            grid, [(w, ru_int), (theta_m, ru)])
+    else:
+        flux_w = advective_flux_edge(grid, w, ru_int)    # (nE, nz+1)
+        gw = (ru_int * flux_w)[mesh.edgesOnCell]         # (nC, mE, nz+1)
+        tend_w = -jnp.sum(mesh.edgeSignOnCell[..., None] * gw, axis=1)
+        flux_t = advective_flux_edge(grid, theta_m, ru)  # (nE, nz)
+        gt = (ru * flux_t)[mesh.edgesOnCell]
+        tend_theta_adv = -jnp.sum(mesh.edgeSignOnCell[..., None] * gt,
+                                  axis=1)
     if not DBG["wadv"]:
         tend_w = tend_w * 0.0
 
@@ -477,10 +494,8 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
         tend_w_euler = tend_w_euler * 0.0
     tend_w = tend_w + tend_w_euler
 
-    # --- theta tendency (ref :5239-5410) ------------------------------------
-    flux_t = advective_flux_edge(grid, theta_m, ru)      # (nE, nz)
-    gt = (ru * flux_t)[mesh.edgesOnCell]
-    tend_theta = -jnp.sum(mesh.edgeSignOnCell[..., None] * gt, axis=1)
+    # --- theta tendency (ref :5239-5410; advective part computed above) ----
+    tend_theta = tend_theta_adv
     if not DBG["thadv"]:
         tend_theta = tend_theta * 0.0
 

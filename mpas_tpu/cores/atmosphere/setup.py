@@ -75,6 +75,16 @@ class AtmGrid:
     u_init: Any         # (nz,) initial zonal profile (idealized mixing ref)
     v_init: Any
     t_init: Any         # (nCells, nz)
+    # cell-assembled advection factorization (build_adv_factored); the
+    # indexed advCellsForEdge path above remains as the reference algebra
+    d2_bmat: Any = None   # (nCells, 3, maxEdges+1) fxx/fxy/fyy fit rows
+    d2w: Any = None       # (nEdges, 2, 3), -dc^2/12*dv baked in
+    adv_beta: float = struct.field(pytree_node=False, default=1.0)
+    # cell-assembled tendency tensors (build_adv_cell_tensors)
+    d2w_own: Any = None   # (nCells, maxEdges, 3), -dc^2/12, no dv
+    d2w_opp: Any = None   # (nCells, maxEdges, 3)
+    adv_sside: Any = None  # (nCells, maxEdges) +-1 upwind orientation
+    dv_cell: Any = None   # (nCells, maxEdges) dvEdge per cell edge
 
 
 def build_vertical_grid(nz: int, zt: float = 45000.0, stretch: float = 1.5,
@@ -143,25 +153,18 @@ def _tangent_coords(mesh: Mesh, origin_xyz, points_xyz):
     return d[..., 0], d[..., 1]
 
 
-def build_deriv_two(mesh: Mesh):
-    """Quadratic-fit second-derivative stencils.
+def build_cell_fit_matrices(mesh: Mesh):
+    """Per-cell quadratic LSQ fit matrices over the stencil
+    [cell itself, cellsOnCell(1..nEdgesOnCell)].
 
-    Returns deriv_two (nEdges, 2, maxEdges+1): for each edge and each of its
-    two cells, the directional-second-derivative weights of [cell itself,
-    cellsOnCell(1..nEdgesOnCell)] along the cell->edge direction
-    (ref: atm_initialize_advection_rk deriv_two fill,
-    mpas_atm_advection.F:330-392).
-    """
-    nC, nE = mesh.nCells, mesh.nEdges
+    Returns bmats (nCells, 6, maxEdges+1): row m gives the weights of the
+    fitted polynomial coefficient m in 1, x, y, x^2, xy, y^2 order; padded
+    stencil slots carry zero weight."""
+    nC = mesh.nCells
     mE = mesh.maxEdges
     cxyz = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], -1).astype(np.float64)
-    exyz = np.stack([mesh.xEdge, mesh.yEdge, mesh.zEdge], -1).astype(np.float64)
     coc = np.asarray(mesh.cellsOnCell)
     nEoC = np.asarray(mesh.nEdgesOnCell)
-    eoc = np.asarray(mesh.edgesOnCell)
-    coe = np.asarray(mesh.cellsOnEdge)
-
-    # per-cell LSQ fit matrices b (6, n) where n = 1+nEdgesOnCell
     bmats = np.zeros((nC, 6, mE + 1))
     for c in range(nC):
         n = int(nEoC[c])
@@ -176,19 +179,105 @@ def build_deriv_two(mesh: Mesh):
         A[1:, 4] = xs * ys
         A[1:, 5] = ys * ys
         bmats[c, :, :n + 1] = np.linalg.pinv(A)
+    return bmats
 
-    deriv_two = np.zeros((nE, 2, mE + 1))
+
+def _edge_direction_weights(mesh: Mesh):
+    """Per-edge per-side directional second-derivative combination weights:
+    d2f/dx'^2 along the cell->edge direction = 2cos^2(t)*fxx
+    + 2cos(t)sin(t)*fxy + 2sin^2(t)*fyy.  Returns (nEdges, 2, 3)."""
+    cxyz = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], -1).astype(np.float64)
+    exyz = np.stack([mesh.xEdge, mesh.yEdge, mesh.zEdge], -1).astype(np.float64)
+    coe = np.asarray(mesh.cellsOnEdge)
+    out = np.zeros((mesh.nEdges, 2, 3))
     for side in range(2):
         cells = coe[:, side]
         xs, ys = _tangent_coords(mesh, cxyz[cells], exyz)
         theta = np.arctan2(ys, xs)
-        c2, s2 = np.cos(theta) ** 2, np.sin(theta) ** 2
-        cs = np.cos(theta) * np.sin(theta)
-        B = bmats[cells]                       # (nE, 6, mE+1)
-        deriv_two[:, side, :] = (2.0 * c2[:, None] * B[:, 3, :]
-                                 + 2.0 * cs[:, None] * B[:, 4, :]
-                                 + 2.0 * s2[:, None] * B[:, 5, :])
+        out[:, side, 0] = 2.0 * np.cos(theta) ** 2
+        out[:, side, 1] = 2.0 * np.cos(theta) * np.sin(theta)
+        out[:, side, 2] = 2.0 * np.sin(theta) ** 2
+    return out
+
+
+def build_deriv_two(mesh: Mesh, bmats=None):
+    """Quadratic-fit second-derivative stencils.
+
+    Returns deriv_two (nEdges, 2, maxEdges+1): for each edge and each of its
+    two cells, the directional-second-derivative weights of [cell itself,
+    cellsOnCell(1..nEdgesOnCell)] along the cell->edge direction
+    (ref: atm_initialize_advection_rk deriv_two fill,
+    mpas_atm_advection.F:330-392).
+    """
+    nE = mesh.nEdges
+    mE = mesh.maxEdges
+    coe = np.asarray(mesh.cellsOnEdge)
+    if bmats is None:
+        bmats = build_cell_fit_matrices(mesh)
+    dirw = _edge_direction_weights(mesh)       # (nE, 2, 3)
+    deriv_two = np.zeros((nE, 2, mE + 1))
+    for side in range(2):
+        B = bmats[coe[:, side]]                # (nE, 6, mE+1)
+        deriv_two[:, side, :] = (dirw[:, side, 0, None] * B[:, 3, :]
+                                 + dirw[:, side, 1, None] * B[:, 4, :]
+                                 + dirw[:, side, 2, None] * B[:, 5, :])
     return deriv_two
+
+
+def build_adv_factored(mesh: Mesh, bmats=None):
+    """Cell-assembled factorization of the SG11 advection stencil.
+
+    The per-edge 10-wide advCellsForEdge stencil (ref:
+    atm_adv_coef_compression, mpas_atm_core.F:1113-1266) factors exactly:
+    deriv_two[e,s,:] contracts the per-cell quadratic-fit second-derivative
+    rows (fxx, fxy, fyy) with a per-edge 3-vector of direction weights, so
+    the high-order edge value becomes
+        F_m[c]   = bmats[c, 3+m, :] . psi[stencil(c)]      (cell assembly)
+        D2_s[e]  = sum_m d2w[e,s,m] * F_m[coe[e,s]]        (2 row gathers)
+        value[e] = dv*0.5*(psi[c1]+psi[c2]) + D2_1 + D2_2
+                   + sign(uh)*beta*(D2_1 - D2_2)
+    replacing the (nEdges, 10, K) arbitrary gather with one 6-wide
+    cellsOnCell gather at cells plus contiguous c1/c2 row gathers — the
+    same traffic win as the cell-assembled TRiSK operator (ops/stencils.py).
+
+    Returns (d2_bmat (nCells, 3, maxEdges+1),
+             d2w (nEdges, 2, 3) with the -dc^2/12*dv flux factor baked in).
+    """
+    if bmats is None:
+        bmats = build_cell_fit_matrices(mesh)
+    d2_bmat = np.ascontiguousarray(bmats[:, 3:6, :])
+    dirw = _edge_direction_weights(mesh)
+    dc = np.asarray(mesh.dcEdge)
+    dv = np.asarray(mesh.dvEdge)
+    d2w = dirw * (-(dc ** 2) / 12.0 * dv)[:, None, None]
+    return d2_bmat, d2w
+
+
+def build_adv_cell_tensors(mesh: Mesh):
+    """Per-cell copies of the factored advection edge weights, for the fully
+    cell-assembled advective-tendency path (advection.py
+    advective_tendencies_cell): each cell sees, for each of its edges p,
+    its OWN direction weights, the OPPOSITE cell's weights, the upwind-term
+    orientation sign, and dvEdge.  Values are edge quantities copied into
+    cell rows (a static host-side gather), so the tensors survive shard
+    reindexing unchanged.
+
+    Returns (d2w_own (nC, mE, 3), d2w_opp (nC, mE, 3), s_cp (nC, mE),
+    dv_cell (nC, mE)); the -dc^2/12 factor is baked in, dvEdge is NOT
+    (it rides dv_cell so the divergence weights stay explicit)."""
+    dirw = _edge_direction_weights(mesh)
+    dc = np.asarray(mesh.dcEdge)
+    w = dirw * (-(dc ** 2) / 12.0)[:, None, None]        # (nE, 2, 3)
+    eoc = np.asarray(mesh.edgesOnCell)
+    coe = np.asarray(mesh.cellsOnEdge)
+    nC, mE = eoc.shape
+    cells = np.arange(nC)[:, None]
+    side_c = (coe[eoc, 0] != cells).astype(np.int64)     # 0 when own side = 0
+    d2w_own = w[eoc, side_c]                             # (nC, mE, 3)
+    d2w_opp = w[eoc, 1 - side_c]
+    s_cp = np.where(side_c == 0, 1.0, -1.0)
+    dv_cell = np.asarray(mesh.dvEdge)[eoc]
+    return d2w_own, d2w_opp, s_cp, dv_cell
 
 
 def build_adv_coefs(mesh: Mesh, deriv_two, coef_3rd_order: float):

@@ -23,7 +23,12 @@ EPS = 1.0e-20
 
 def _edge_flux_value(grid: AtmGrid, psi, uh):
     """High-order edge value sum_j (A + sign(uh)*A3)*psi[adv_j]
-    (includes the dvEdge factor baked into adv_coefs)."""
+    (includes the dvEdge factor baked into adv_coefs).  Uses the
+    cell-assembled factorization (advection.py) when available."""
+    if grid.d2_bmat is not None:
+        from mpas_tpu.cores.atmosphere.advection import edge_value_parts
+        base, third = edge_value_parts(grid, psi)
+        return base + jnp.sign(uh)[..., None] * third
     g = psi[grid.advCellsForEdge]                     # (nE, NA, nz, nS)
     base = jnp.einsum("ej,ejks->eks", grid.adv_coefs, g)
     third = jnp.einsum("ej,ejks->eks", grid.adv_coefs_3rd, g)
