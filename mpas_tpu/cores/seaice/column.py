@@ -209,14 +209,126 @@ def thermodynamics_multilayer(cfg: SeaiceConfig, state: SeaiceState,
                          iceEnthalpy=qi2, snowEnthalpy=qs2)
 
 
+def _mean_thickness(cfg, a, v):
+    return jnp.where(a > cfg.puny, v / jnp.maximum(a, cfg.puny), 0.0)
+
+
+def _tracer_packages_step(cfg: SeaiceConfig, state: SeaiceState,
+                          forcing: SeaiceForcing, pre: SeaiceState,
+                          dt) -> SeaiceState:
+    """Pond / age / brine / algae / snow tracer updates after the vertical
+    thermodynamics, driven by the melt/growth diagnostics obtained by
+    differencing category thickness before (pre) and after (state) thermo.
+    ref ordering: mpas_seaice_column.F column_*_tracers after
+    seaice_column_vertical_thermodynamics."""
+    a = state.iceAreaCategory
+    h_i = _mean_thickness(cfg, a, state.iceVolumeCategory)
+    h_s = _mean_thickness(cfg, a, state.snowVolumeCategory)
+    h_i0 = _mean_thickness(cfg, pre.iceAreaCategory, pre.iceVolumeCategory)
+    h_s0 = _mean_thickness(cfg, pre.iceAreaCategory,
+                           pre.snowVolumeCategory)
+    melt_i = jnp.maximum(h_i0 - h_i, 0.0)       # m of ice melted this step
+    melt_s = jnp.maximum(h_s0 - h_s, 0.0)
+    growth_b = jnp.maximum(h_i - h_i0, 0.0) / dt
+    melt_b = melt_i / dt
+    t_s = state.surfaceTemperature
+    rain = (forcing.rainfallRate[:, None] / 1000.0
+            if forcing.rainfallRate is not None else jnp.zeros_like(a))
+    snowfall = (forcing.snowfallRate[:, None]
+                if forcing.snowfallRate is not None else jnp.zeros_like(a))
+    wind = jnp.sqrt(forcing.uAirVelocity ** 2
+                    + forcing.vAirVelocity ** 2)[:, None]
+
+    upd = {}
+    if cfg.config_pond_scheme != "off" and state.pondArea is not None:
+        from mpas_tpu.cores.seaice import ponds
+        if cfg.config_pond_scheme == "cesm":
+            ap, hp = ponds.ponds_cesm(cfg, a, h_i, t_s, state.pondArea,
+                                      state.pondDepth, melt_i, melt_s,
+                                      rain, dt)
+            upd.update(pondArea=ap, pondDepth=hp)
+        elif cfg.config_pond_scheme == "lvl":
+            alvl = (state.levelIceArea if state.levelIceArea is not None
+                    else jnp.ones_like(a))
+            ap, hp, ip = ponds.ponds_lvl(
+                cfg, a, h_i, t_s, state.pondArea, state.pondDepth,
+                state.pondLid if state.pondLid is not None
+                else jnp.zeros_like(a), alvl, melt_i, melt_s, rain, dt)
+            upd.update(pondArea=ap, pondDepth=hp, pondLid=ip)
+        else:  # topo
+            ap, hp = ponds.ponds_topo(cfg, a, h_i, h_s, t_s,
+                                      state.pondArea, state.pondDepth,
+                                      melt_i, melt_s, rain, dt)
+            upd.update(pondArea=ap, pondDepth=hp)
+    if cfg.config_use_ice_age and state.iceAge is not None:
+        from mpas_tpu.cores.seaice.tracers import increment_age
+        upd["iceAge"] = increment_age(state.iceAge, a, dt, cfg.puny)
+    if cfg.config_use_brine and state.brineHeight is not None:
+        from mpas_tpu.cores.seaice.bgc import brine_height_update
+        upd["brineHeight"] = brine_height_update(
+            state.brineHeight, h_i, h_s, cfg.rho_ice, cfg.rho_snow,
+            cfg.rho_seawater, dt, puny=cfg.puny)
+    if cfg.config_use_algae and state.algaeIce is not None:
+        from mpas_tpu.cores.seaice.bgc import algae_step
+        sw_thru = forcing.shortwaveDown[:, None] * jnp.exp(
+            -1.5 * jnp.maximum(h_i, 0.0) - 20.0 * jnp.maximum(h_s, 0.0))
+        alg, no3, sio3, _ = algae_step(
+            state.algaeIce, state.nitrateIce, state.silicateIce, h_i,
+            sw_thru, jnp.full_like(h_i, cfg.freezing_point),
+            cfg.config_ocean_nitrate, cfg.config_ocean_silicate,
+            growth_b, melt_b, dt, puny=cfg.puny)
+        upd.update(algaeIce=alg, nitrateIce=no3, silicateIce=sio3)
+    if cfg.config_use_snow_metamorphism \
+            and state.snowGrainRadius is not None:
+        from mpas_tpu.cores.seaice.snow import snow_metamorphism
+        r, rho = snow_metamorphism(
+            state.snowGrainRadius, t_s,
+            jnp.full_like(t_s, cfg.freezing_point), h_s, snowfall, wind,
+            state.snowDensity if state.snowDensity is not None
+            else jnp.full_like(t_s, cfg.rho_snow), dt, puny=cfg.puny)
+        upd.update(snowGrainRadius=r, snowDensity=rho)
+    return state.replace(**upd) if upd else state
+
+
 def column_physics_step(cfg: SeaiceConfig, state: SeaiceState,
                         forcing: SeaiceForcing, dt) -> SeaiceState:
     """ref ordering: seaice_column_* called after dynamics/advection
     (mpas_seaice_time_integration.F:42-174)."""
+    pre_ridge = state
     state = ridge(cfg, state, dt)
+    if state.levelIceArea is not None:
+        from mpas_tpu.cores.seaice.tracers import ridging_level_ice_update
+        alvl, vlvl = ridging_level_ice_update(
+            pre_ridge.levelIceArea,
+            pre_ridge.levelIceVolume
+            if pre_ridge.levelIceVolume is not None
+            else pre_ridge.levelIceArea,
+            pre_ridge.iceAreaCategory, pre_ridge.iceVolumeCategory,
+            state.iceAreaCategory, state.iceVolumeCategory, cfg.puny)
+        state = state.replace(levelIceArea=alvl, levelIceVolume=vlvl)
+    pre = state
     if cfg.config_thermo_type in ("bl99", "mushy"):
         state = thermodynamics_multilayer(cfg, state, forcing, dt)
     else:
         state = thermodynamics(cfg, state, forcing, dt)
-    state = itd_remap(cfg, state)
+    state = _tracer_packages_step(cfg, state, forcing, pre, dt)
+    if cfg.config_itd_remap_type == "linear":
+        from mpas_tpu.cores.seaice.itd import linear_remap
+        at_names = [n for n in ("pondArea", "pondDepth", "pondLid",
+                                "levelIceArea", "iceAge", "firstYearArea",
+                                "brineHeight", "algaeIce", "nitrateIce",
+                                "silicateIce")
+                    if getattr(state, n) is not None]
+        a2, vi2, vs2, ts2, qi2, qs2, at2, _ = linear_remap(
+            cfg, state.iceAreaCategory, state.iceVolumeCategory,
+            state.snowVolumeCategory, state.surfaceTemperature,
+            q_ice=state.iceEnthalpy, q_snow=state.snowEnthalpy,
+            area_tracers=tuple(getattr(state, n) for n in at_names))
+        state = state.replace(
+            iceAreaCategory=a2, iceVolumeCategory=vi2,
+            snowVolumeCategory=vs2, surfaceTemperature=ts2,
+            iceEnthalpy=qi2, snowEnthalpy=qs2,
+            **dict(zip(at_names, at2)))
+    else:
+        state = itd_remap(cfg, state)
     return state

@@ -46,6 +46,21 @@ class SeaiceConfig:
     config_shortwave_type: str = "ccsm3"
     # WMO-ish category bounds used by CICE ITD (m)
     config_itd_bounds: tuple = (0.0, 0.64, 1.39, 2.47, 4.57, 1.0e8)
+    # ITD thickness-space transport: "rebin" (one-shot conservative rebin)
+    # or "linear" (Lipscomb 2001 linear remapping, ref ice_itd.F90)
+    config_itd_remap_type: str = "rebin"
+    # melt ponds: "off" | "cesm" | "lvl" | "topo"
+    # (ref ice_meltpond_{cesm,lvl,topo}.F90)
+    config_pond_scheme: str = "off"
+    # tracer packages (ref ice_age/ice_firstyear/ice_brine/ice_algae.F90)
+    config_use_ice_age: bool = False
+    config_use_first_year_ice: bool = False
+    config_use_brine: bool = False
+    config_use_algae: bool = False
+    config_use_snow_metamorphism: bool = False
+    # mixed-layer nutrient boundary conditions for the algae package
+    config_ocean_nitrate: float = 5.0    # mmol/m3
+    config_ocean_silicate: float = 10.0
 
     # constants (ref: src/core_seaice/shared/mpas_seaice_constants.F)
     rho_ice: float = 917.0

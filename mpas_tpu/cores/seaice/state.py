@@ -56,6 +56,26 @@ class SeaiceState:
     # per-layer enthalpies, J/m3 (ref iceEnthalpy/snowEnthalpy tracers)
     iceEnthalpy: Any = None   # (nCells, nCat, nIceLayers)
     snowEnthalpy: Any = None  # (nCells, nCat, nSnowLayers)
+    # melt-pond tracers (ref pondArea/pondDepth/pondLidThickness;
+    # ice_meltpond_{cesm,lvl,topo}.F90) — None when ponds are off
+    pondArea: Any = None      # (nCells, nCat) pond fraction
+    pondDepth: Any = None     # (nCells, nCat) m
+    pondLid: Any = None       # (nCells, nCat) refrozen lid, m (lvl only)
+    # level-ice tracers fed by ridging (ref alvl/vlvl,
+    # ice_colpkg_tracers.F90)
+    levelIceArea: Any = None  # (nCells, nCat) level fraction of area
+    levelIceVolume: Any = None
+    # age / first-year tracers (ice_age.F90, ice_firstyear.F90)
+    iceAge: Any = None        # (nCells, nCat) seconds
+    firstYearArea: Any = None
+    # BGC (ice_brine.F90 / ice_algae.F90)
+    brineHeight: Any = None   # (nCells, nCat) m from the ice bottom
+    algaeIce: Any = None      # (nCells, nCat) mmol N/m2 skeletal layer
+    nitrateIce: Any = None
+    silicateIce: Any = None
+    # snow metamorphism (grain radius m, effective density kg/m3)
+    snowGrainRadius: Any = None
+    snowDensity: Any = None
 
 
 @struct.dataclass
@@ -75,6 +95,11 @@ class SeaiceForcing:
     # in the solver; ref surface_tilt_* mpas_seaice_velocity_solver.F:1819)
     sshGradientU: Any         # (nVertices,)
     sshGradientV: Any         # (nVertices,)
+    # precipitation (ref rainfallRate/snowfallRate atmos coupling fields)
+    rainfallRate: Any = None  # (nCells,) kg/m2/s
+    snowfallRate: Any = None  # (nCells,) m/s of snow depth
+    # aerosol deposition (nCells, nSpecies) kg/m2/s — None = no aerosols
+    aerosolDeposition: Any = None
 
 
 def make_grid(mesh: Mesh, variational: bool = False) -> SeaiceGrid:
