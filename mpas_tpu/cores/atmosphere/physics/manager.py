@@ -41,7 +41,7 @@ class PhysicsConfig:
     config_conv_interval_s: float = 0.0      # 0 = every step
     config_microp_scheme: str = "wsm6"       # used by the dycore coupling
     config_pbl_scheme: str = "ysu"           # "ysu" | "mynn"
-    config_conv_scheme: str = "kf"           # "kf" | "tiedtke"
+    config_conv_scheme: str = "kf"           # "kf" | "tiedtke" | "grell_freitas"
     config_lsm_scheme: str = "slab"          # "slab" | "noah"
     config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
     config_gwdo_scheme: str = "off"
@@ -228,10 +228,16 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
         v_pbl = v_pbl + dt * dvdt
 
     # --- convection (ref: driver_convection) ---
+    qc_detr = None
     if cfg.config_conv_scheme == "tiedtke":
         from mpas_tpu.cores.atmosphere.physics.tiedtke import tiedtke
         th_cu, qv_cu, rain_c, _cape = tiedtke(
             th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
+    elif cfg.config_conv_scheme == "grell_freitas":
+        from mpas_tpu.cores.atmosphere.physics.gf import gf_convection
+        dx_gf = 2.0 * jnp.sqrt(m.areaCell / jnp.pi)
+        th_cu, qv_cu, qc_detr, rain_c, _cape = gf_convection(
+            th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt, dx=dx_gf)
     else:
         th_cu, qv_cu, rain_c, _cape = kf_convection(
             th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
@@ -239,6 +245,9 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
     # --- couple back to dycore variables ---
     theta_m_new = th_cu * (1.0 + rvord * qv_cu)
     scalars_new = state.scalars.at[..., 0].set(qv_cu)
+    if qc_detr is not None and scalars_new.shape[-1] > 1:
+        # GF detrains non-precipitated condensate to cloud water
+        scalars_new = scalars_new.at[..., 1].add(qc_detr)
     du_e = _edge_wind_tendency(m, u_pbl - u_c, v_pbl - v_c)
     u_new = (state.u + du_e) * (1.0 - m.boundaryEdge)[:, None]
 
