@@ -100,6 +100,16 @@ class OcnConfig:
     config_btr_gam2_SSHWt1: float = 1.0
     config_btr_gam3_velWt2: float = 1.0
     config_vel_correction: bool = True
+    # --- z-tilde ALE (ref: mpas_ocn_thick_ale.F + the freq-filtered
+    # thickness prognostics of mpas_ocn_tendency.F:908) ---
+    config_use_freq_filtered_thickness: bool = False
+    config_thickness_filter_timescale: float = 5.0    # days
+    config_use_highFreqThick_restore: bool = True
+    config_highFreqThick_restore_time: float = 30.0   # days
+    config_highFreqThick_del2: float = 0.0
+    config_use_min_max_thickness: bool = False
+    config_max_thickness_factor: float = 6.0
+    config_min_thickness: float = 1.0
     config_calendar_type: str = "gregorian_noleap"
     config_start_time: str = "0000-01-01_00:00:00"
     config_run_duration: str = "none"
@@ -115,6 +125,10 @@ class OcnState:
     # split-explicit barotropic mode velocity, persisted between steps
     # (ref: state normalBarotropicVelocity). None on the RK4 path.
     ubtr: Any = None     # (nEdges,)
+    # z-tilde prognostics (ref: state lowFreqDivergence /
+    # highFreqThickness, Registry.xml; None when z-star only)
+    lowFreqDivergence: Any = None   # (nCells, nz)
+    highFreqThickness: Any = None   # (nCells, nz)
 
 
 @struct.dataclass
@@ -311,6 +325,22 @@ def tendencies(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt):
     uh = u_trans * h_edge
     if grid.edgeMask is not None:       # no flux through the bathymetry
         uh = uh * grid.edgeMask
+    if cfg.config_use_freq_filtered_thickness \
+            and state.highFreqThickness is not None:
+        # z-tilde: high-frequency divergence inflates layers locally
+        from mpas_tpu.cores.ocean.ztilde import (ale_tends_ztilde,
+                                                 freq_filtered_tends)
+        mesh_ = grid.mesh
+        div_hu = jnp.sum(mesh_.divW[..., None] * uh[mesh_.edgesOnCell],
+                         axis=1) * mesh_.invAreaCell[:, None]
+        tend_lfd, tend_hhf = freq_filtered_tends(
+            grid, cfg, div_hu, h, state.lowFreqDivergence,
+            state.highFreqThickness)
+        tend_h, w_top = ale_tends_ztilde(grid, div_hu, tend_hhf)
+        tend_u = vel_tendency(grid, cfg, u, h, tr, w_top, dt,
+                              planetary=True)
+        tend_hT = tracer_tendency(grid, cfg, uh, w_top, h, tr)
+        return tend_u, tend_h, tend_hT, tend_lfd, tend_hhf
     _, tend_h, w_top = thickness_tendency(grid, uh)
     tend_u = vel_tendency(grid, cfg, u, h, tr, w_top, dt, planetary=True)
     tend_hT = tracer_tendency(grid, cfg, uh, w_top, h, tr)
@@ -405,22 +435,43 @@ def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt,
              forcing=None) -> OcnState:
     """ref: mpas_ocn_time_integration_rk4.F:74 — same pool choreography as
     the SW core, with implicit vertical mixing applied after the RK update."""
+    use_zt = cfg.config_use_freq_filtered_thickness \
+        and state.highFreqThickness is not None
     u0, h0 = state.u, state.layerThickness
     hT0 = state.tracers * h0[..., None]
     u_acc, h_acc, hT_acc = u0, h0, hT0
+    lfd0 = hhf0 = lfd_acc = hhf_acc = None
+    if use_zt:
+        lfd0, hhf0 = state.lowFreqDivergence, state.highFreqThickness
+        lfd_acc, hhf_acc = lfd0, hhf0
     provis = state
     for stage in range(4):
-        tu, th, thT = tendencies(grid, cfg, provis, dt)
+        tends = tendencies(grid, cfg, provis, dt)
+        tu, th, thT = tends[:3]
         u_acc = u_acc + dt * _RK_W[stage] * tu
         h_acc = h_acc + dt * _RK_W[stage] * th
         hT_acc = hT_acc + dt * _RK_W[stage] * thT
+        if use_zt:
+            lfd_acc = lfd_acc + dt * _RK_W[stage] * tends[3]
+            hhf_acc = hhf_acc + dt * _RK_W[stage] * tends[4]
         if stage < 3:
             w = dt * _RK_S[stage]
             hp = h0 + w * th
-            provis = OcnState(u=u0 + w * tu, layerThickness=hp,
-                              tracers=(hT0 + w * thT) / hp[..., None])
+            provis = OcnState(
+                u=u0 + w * tu, layerThickness=hp,
+                tracers=(hT0 + w * thT) / hp[..., None],
+                lowFreqDivergence=(lfd0 + w * tends[3]) if use_zt
+                else None,
+                highFreqThickness=(hhf0 + w * tends[4]) if use_zt
+                else None)
+    if cfg.config_use_min_max_thickness:
+        # conservative per-column clamping of the ALE target thickness
+        # (ref: mpas_ocn_thick_ale.F:186-214); tracer MASS rides along
+        from mpas_tpu.cores.ocean.ztilde import min_max_thickness_filter
+        h_acc = min_max_thickness_filter(grid, cfg, h_acc)
     out = OcnState(u=u_acc, layerThickness=h_acc,
-                   tracers=hT_acc / h_acc[..., None], ubtr=state.ubtr)
+                   tracers=hT_acc / h_acc[..., None], ubtr=state.ubtr,
+                   lowFreqDivergence=lfd_acc, highFreqThickness=hhf_acc)
     return implicit_vertical_mix(grid, cfg, out, dt, forcing)
 
 
