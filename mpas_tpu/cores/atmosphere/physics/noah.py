@@ -138,3 +138,76 @@ def noah_surface_moisture(tsk, p_sfc, beta):
     """qsfc for the surface-layer scheme: beta-scaled saturation
     (ref: Noah beta-method evaporation)."""
     return beta * _qsat(tsk, p_sfc)
+
+
+# sea-ice slab properties (module_sf_noah_seaice.F genre)
+DZI = (0.10, 0.30, 0.60, 1.00)     # ice "soil" layers
+K_ICE = 2.2                        # W/m/K
+C_ICE = 1.88e6                     # J/m3/K
+T_SEAWATER = 271.36                # K, bottom boundary (-1.79 C)
+
+
+def _slab_column_step(tsk, tlayers, swe, gsw, glw, hfx, lh, dt,
+                      k_cond, c_heat, t_bottom=None, emiss=0.98):
+    """Shared 4-layer slab (ice/firn) heat column: linearized skin energy
+    balance, implicit tridiagonal interior diffusion, snow melt capping.
+    t_bottom: fixed Dirichlet bottom temperature (None = zero flux)."""
+    dzs = jnp.asarray(DZI, dtype=tlayers.dtype)
+    kg = k_cond / (0.5 * dzs[0])
+    f = (gsw + emiss * glw - emiss * _SB * tsk ** 4
+         - hfx - lh - kg * (tsk - tlayers[:, 0]))
+    dfdt = -4.0 * emiss * _SB * tsk ** 3 - kg
+    tsk_new = tsk - f / dfdt
+    # ice/snow surfaces melt at 0 C; residual energy melts snow then ice
+    tsk_capped = jnp.minimum(tsk_new, _T0)
+    melt_energy = jnp.where(
+        tsk_new > _T0,
+        jnp.maximum(gsw + emiss * glw - emiss * _SB * _T0 ** 4
+                    - hfx - lh - kg * (_T0 - tlayers[:, 0]), 0.0), 0.0)
+    snow_melt = jnp.minimum(dt * melt_energy / (_LF * 1000.0), swe)
+    g_flux = kg * (tsk_capped - tlayers[:, 0])
+
+    kh_val = k_cond / (0.5 * (dzs[:-1] + dzs[1:]))           # (3,)
+    kh = jnp.broadcast_to(kh_val[None, :], (tlayers.shape[0], 3))
+    eta = dt / (c_heat * dzs)[None, :]
+    zero = jnp.zeros_like(kh[:, :1])
+    a = -eta * jnp.concatenate([zero, kh], axis=1)
+    c = -eta * jnp.concatenate([kh, zero], axis=1)
+    b = 1.0 - a - c
+    d = tlayers.at[:, 0].add(eta[:, 0] * g_flux)
+    if t_bottom is not None:
+        # Dirichlet bottom: conductive coupling to fixed seawater temp
+        kb = k_cond / (0.5 * dzs[-1])
+        b = b.at[:, -1].add(eta[:, -1] * kb)
+        d = d.at[:, -1].add(eta[:, -1] * kb * t_bottom)
+    t_new = tridiagonal_solve(a, b, c, d)
+    return tsk_capped, t_new, jnp.maximum(swe - snow_melt, 0.0), \
+        g_flux, snow_melt
+
+
+def noah_seaice(tsk, tslb, swe, gsw, glw, hfx, lh, dt):
+    """Noah sea-ice surface (ref: module_sf_noah_seaice.F SFLX_SEAICE):
+    a 4-layer ice slab with fixed seawater temperature at the base,
+    snow-on-ice melt, skin capped at freezing.  Returns dict(tsk, tslb,
+    swe, g_flux, snow_melt, basal_flux)."""
+    tsk2, t2, swe2, g, melt = _slab_column_step(
+        tsk, tslb, swe, gsw, glw, hfx, lh, dt, K_ICE, C_ICE,
+        t_bottom=T_SEAWATER)
+    dzs = jnp.asarray(DZI, dtype=tslb.dtype)
+    basal = K_ICE / (0.5 * dzs[-1]) * (T_SEAWATER - t2[:, -1])
+    return {"tsk": tsk2, "tslb": t2, "swe": swe2, "g_flux": g,
+            "snow_melt": melt, "basal_flux": basal}
+
+
+def noah_glacial(tsk, tslb, swe, gsw, glw, hfx, lh, dt):
+    """Noah glacial-land surface (ref: the glacial/XICE branches of
+    module_sf_noahdrv.F SFLX calls over permanent land ice): firn column
+    (reduced conductivity/heat capacity), zero-flux base, melt water runs
+    off (no soil moisture).  Returns dict(tsk, tslb, swe, g_flux,
+    snow_melt, runoff)."""
+    k_firn, c_firn = 1.0, 1.5e6
+    tsk2, t2, swe2, g, melt = _slab_column_step(
+        tsk, tslb, swe, gsw, glw, hfx, lh, dt, k_firn, c_firn,
+        t_bottom=None)
+    return {"tsk": tsk2, "tslb": t2, "swe": swe2, "g_flux": g,
+            "snow_melt": melt, "runoff": melt}

@@ -71,13 +71,24 @@ def _planck_band_fraction(t, nu1, nu2, n_quad=8):
     return integral / (_SB * jnp.maximum(t, 120.0) ** 4)
 
 
-def rrtmg_lw(t, qv, qc, rho, dz, tsk, emiss_sfc=0.985, co2_ppv=CO2_PPV):
+K_LW_O3 = 1.1e2       # 9.6 um band O3 mass absorption proxy (m2/kg)
+
+
+def rrtmg_lw(t, qv, qc, rho, dz, tsk, emiss_sfc=0.985, co2_ppv=CO2_PPV,
+             o3_vmr=None):
     """k-distribution longwave. Returns (dT/dt, GLW, OLR); k=0 lowest.
-    ref capability: rrtmg_lw two-stream absorption/emission per g-point."""
+    ref capability: rrtmg_lw two-stream absorption/emission per g-point.
+    o3_vmr: optional (nC, nz) ozone vmr (physics/o3.o3_climatology) —
+    adds the 9.6 um O3 band to the 1000-1400 cm^-1 group (ref:
+    mpas_atmphys_o3climatology.F feeding rrtmg_lw's band 7)."""
     nC, nz = t.shape
     path_v = rho * dz * qv                     # water vapor path kg/m2
     path_a = rho * dz                          # air path
     path_c = rho * dz * qc                     # cloud water path
+    path_o3 = None
+    if o3_vmr is not None:
+        from mpas_tpu.cores.atmosphere.physics.o3 import o3_path
+        path_o3 = o3_path(rho, dz, o3_vmr)
 
     f_up_tot = jnp.zeros((nC, nz + 1))
     f_dn_tot = jnp.zeros((nC, nz + 1))
@@ -90,6 +101,8 @@ def rrtmg_lw(t, qv, qc, rho, dz, tsk, emiss_sfc=0.985, co2_ppv=CO2_PPV):
         for (w, k_h2o, k_co2) in gpts:
             tau = (k_h2o * path_v + k_co2 * co2_ppv * path_a * 1.52
                    + K_LW_CLD * path_c)
+            if path_o3 is not None and nu1 == 1000.0:
+                tau = tau + K_LW_O3 * path_o3   # 9.6 um O3 band
             emis = 1.0 - jnp.exp(-DIFFUSIVITY * tau)
 
             # downward pass from TOA
@@ -132,19 +145,26 @@ SW_BANDS = (
 O3_COLUMN = 6.5e-6     # kg/kg-scaled proxy for a midlat column distribution
 
 
-def rrtmg_sw(qv, qc, rho, dz, mu, albedo=0.2):
+def rrtmg_sw(qv, qc, rho, dz, mu, albedo=0.2, o3_vmr=None):
     """k-distribution shortwave with cloud delta-two-stream.
     Returns (dT/dt, GSW absorbed at surface). k=0 lowest level.
-    ref capability: rrtmg_sw spectral loop + cloud optics."""
+    ref capability: rrtmg_sw spectral loop + cloud optics.
+    o3_vmr: optional (nC, nz) ozone vmr from the o3 climatology (ref:
+    mpas_atmphys_o3climatology.F); None falls back to a fixed
+    top-quarter column proxy."""
     nC, nz = qv.shape
     mu_s = jnp.maximum(mu, 0.05)
     sec = 1.0 / mu_s
     path_v = rho * dz * qv
     path_a = rho * dz
-    # simple O3 proxy profile: concentrated in the top quarter
-    o3_w = jnp.zeros((nz,)).at[3 * nz // 4:].set(1.0)
-    o3_w = o3_w / jnp.maximum(jnp.sum(o3_w), 1.0)
-    path_o3 = O3_COLUMN * o3_w[None, :] * jnp.ones((nC, 1))
+    if o3_vmr is not None:
+        from mpas_tpu.cores.atmosphere.physics.o3 import o3_path
+        path_o3 = o3_path(rho, dz, o3_vmr)
+    else:
+        # simple O3 proxy profile: concentrated in the top quarter
+        o3_w = jnp.zeros((nz,)).at[3 * nz // 4:].set(1.0)
+        o3_w = o3_w / jnp.maximum(jnp.sum(o3_w), 1.0)
+        path_o3 = O3_COLUMN * o3_w[None, :] * jnp.ones((nC, 1))
 
     # cloud optics: tau = 3/2 LWP / (rho_w r_e)
     r_eff = 10.0e-6
