@@ -3,7 +3,9 @@
 The srk3 driver already exposes exchange hooks at exactly the reference's
 halo-exchange points (ref: the ~15 mpas_dmpar_exch_halo_field calls per
 dynamics substep, mpas_atm_time_integration.F:666-1288); here those hooks
-become gather->all_to_all->permutation halo refreshes over the device mesh.
+become static neighbor-schedule ppermute halo refreshes over the device
+mesh (parallel.layout.NeighborExchange), with acoustic-loop exchanges
+restricted to halo layer 1 (ref: mpas_atm_time_integration.F:792,845).
 Cell columns stay shard-local (the vertical rides the lane dimension), so
 every exchange moves whole columns — the same decomposition the reference
 uses (SURVEY.md §5.7).

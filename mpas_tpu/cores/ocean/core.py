@@ -13,9 +13,9 @@ src/core_ocean/mode_forward + shared/):
   vertical mixing     <- ocn_vmix implicit solve (mpas_ocn_vmix.F), constant
                          coefficients, via the batched Thomas solver
   RK4 integrator      <- mpas_ocn_time_integration_rk4.F:74
-(The split-explicit barotropic/baroclinic integrator of
-mpas_ocn_time_integration_split.F is the next milestone; this core carries
-the same state and tendency structure it needs.)
+  split-explicit      <- mpas_ocn_time_integration_split.F:82-1926 —
+                         baroclinic predictor iterations + scan-based
+                         barotropic subcycling (split_step, below)
 
 Layout: layer k=0 is the surface; u (nEdges, nz), layerThickness
 (nCells, nz), tracers (nCells, nz, nT). Vertical transport w_top lives on

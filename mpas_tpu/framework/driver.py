@@ -49,9 +49,11 @@ class Driver:
         self.log = LogManager(hooks.name, run_dir=run_dir)
         self.timers = TimerManager()
 
+        # Map MPAS namelist calendar names (mpas_timekeeping.F:160 accepts
+        # 'gregorian', 'gregorian_noleap', '360day') to timekeeping names.
         calendar = getattr(cfg, "config_calendar_type", "gregorian_noleap")
-        if calendar == "gregorian_noleap":
-            calendar = "gregorian_noleap"
+        calendar = {"360_day": "360day", "noleap": "gregorian_noleap"}.get(
+            calendar, calendar)
         start = Time.from_string(
             getattr(cfg, "config_start_time", "0000-01-01_00:00:00"),
             calendar)

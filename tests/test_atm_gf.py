@@ -5,10 +5,14 @@ plume split, Beta-profile normalized mass flux, multi-closure ensemble,
 scale-aware (1-sigma)^2 damping, condensate detrainment.
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from mpas_tpu.cores.atmosphere.physics.gf import gf_convection
+
+# Whole-module slow: each test pays one multi-second scheme jit-compile.
+pytestmark = pytest.mark.slow
 
 
 def _columns(n=6, nz=30, unstable=True):

@@ -1,11 +1,15 @@
 """cal_cldfra3 cloud-fraction tests (ref module_mp_thompson_cldfra3.F)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mpas_tpu.cores.atmosphere.physics.cldfra3 import cal_cldfra3
 from mpas_tpu.cores.atmosphere.physics.wsm6 import _qsat_liq
+
+# Whole-module slow: each test pays one multi-second scheme jit-compile.
+pytestmark = pytest.mark.slow
 
 jax.config.update("jax_enable_x64", True)
 

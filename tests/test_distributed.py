@@ -47,7 +47,9 @@ def tc5_setup(sphere_mesh_small):
     return mesh, state, h_s, cfg, ref
 
 
-@pytest.mark.parametrize("n_parts", [2, 4, 8])
+@pytest.mark.parametrize("n_parts", [2,
+                                     pytest.param(4, marks=pytest.mark.slow),
+                                     pytest.param(8, marks=pytest.mark.slow)])
 def test_decomp_invariance(tc5_setup, n_parts):
     """N-shard run matches the single-device run on owned entities."""
     mesh, state, h_s, cfg, ref = tc5_setup

@@ -12,6 +12,9 @@ import pytest
 
 from mpas_tpu.cores.atmosphere.physics.gwdo import gwdo
 
+# Whole-module slow: each test pays one multi-second scheme jit-compile.
+pytestmark = pytest.mark.slow
+
 jax.config.update("jax_enable_x64", True)
 
 

@@ -36,6 +36,7 @@ def _slab(nx=8, dc=2000.0, H=1000.0, beta2=1e12, nz=16):
 
 
 class TestSlabLimit:
+    pytestmark = pytest.mark.slow
     def test_matches_analytic_sia(self):
         """Uniform slab: FO == SIA analytically; the discrete solution
         must land within discretization error of
@@ -69,6 +70,7 @@ class TestSlabLimit:
 
 
 class TestIsmipHomA:
+    pytestmark = pytest.mark.slow
     def _bump_run(self, L, n=10, nz=10):
         mesh = planar_hex_mesh(n, n, L / n)
         geom = build_fo_geom(mesh)
@@ -98,6 +100,7 @@ class TestIsmipHomA:
 
 
 class TestCoreIntegration:
+    pytestmark = pytest.mark.slow
     def test_fe_step_with_fo_solver(self):
         from mpas_tpu.cores.landice.config import LiConfig
         from mpas_tpu.cores.landice.core import fe_step

@@ -19,6 +19,7 @@ from mpas_tpu.cores.ocean.land_ice_flux import (LAM1, LAM2, LAM3,
 from mpas_tpu.mesh.planar import channel_hex_mesh
 
 
+@pytest.mark.slow
 def test_three_equation_consistency():
     n = 5
     t_o = jnp.asarray([2.0, 0.0, -1.0, -1.9, 1.0])
@@ -37,6 +38,7 @@ def test_three_equation_consistency():
     assert np.asarray(fx.heat_flux)[0] < 0.0      # ocean loses heat
 
 
+@pytest.mark.slow
 def test_cavity_run_melts_and_freshens():
     m = channel_hex_mesh(6, 12, 10000.0)
     grid, state, extras = init_isomip(m, nz=10)

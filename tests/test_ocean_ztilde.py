@@ -29,6 +29,7 @@ def channel_zt():
 
 
 class TestZTilde:
+    pytestmark = pytest.mark.slow
     def test_stable_and_volume_conserving(self, channel_zt):
         grid, state = channel_zt
         cfg = OcnConfig(config_dt=30.0,

@@ -6,6 +6,7 @@ ice_age.F90, ice_firstyear.F90, ice_aerosol.F90, ice_brine.F90,
 ice_algae.F90, ice_therm_itd.F90 (freeboard snow-ice).
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -236,6 +237,7 @@ class TestSnow:
 
 
 class TestColumnIntegration:
+    pytestmark = pytest.mark.slow
     def test_full_column_step_with_packages(self):
         """column_physics_step with ponds+age+brine+algae+snow on and the
         linear ITD remap, one step, conservation + finiteness."""

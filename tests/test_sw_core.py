@@ -95,6 +95,7 @@ class TestNumericsProperties:
         assert np.array_equal(np.asarray(a.h), np.asarray(b.h))
         assert np.array_equal(np.asarray(a.u), np.asarray(b.u))
 
+    @pytest.mark.slow
     def test_resolution_convergence_tc2(self, sphere_mesh_small,
                                         sphere_mesh_medium):
         """TC2 steady-state error decreases with resolution."""
