@@ -22,8 +22,8 @@ BASELINE_COLUMN_UPDATES_PER_S = 2.0e4
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="jw_120km",
-                    choices=["jw_120km", "jw_480km", "sw_tc5_120km",
-                             "sw_tc5_480km"])
+                    choices=["jw_120km", "jw_480km", "jw_var60_15",
+                             "sw_tc5_120km", "sw_tc5_480km"])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
@@ -53,18 +53,33 @@ def main():
         from mpas_tpu.cores.atmosphere.init_jw import init_jw
         from mpas_tpu.cores.atmosphere.time_integration import (init_carry,
                                                                 run_steps)
+        radius = None
+        scale_with_mesh = False
         if args.config == "jw_120km":
             mesh0 = cached("icos64_l4",
                            lambda: icosahedral_mesh(64, lloyd_iters=4))
             dt, len_disp = 720.0, 120000.0
+        elif args.config == "jw_var60_15":
+            # BASELINE coverage config 5: variable-resolution 60-15 km full
+            # dycore. DCMIP-style reduced-radius planet (R_earth/4) so the
+            # 4:1 refined SCVT carries true 60 km coarse / 15 km fine cell
+            # widths at a single-chip cell count; dt per the fine-cell CFL.
+            from mpas_tpu.mesh.varres import variable_res_mesh
+            mesh0 = cached("varres23k_r4",
+                           lambda: variable_res_mesh(23000, iterations=30))
+            dt, len_disp = 90.0, 15000.0
+            radius = 6371229.0 / 4.0
+            scale_with_mesh = True
         else:
             mesh0 = cached("icos16_l4",
                            lambda: icosahedral_mesh(16, lloyd_iters=4))
             dt, len_disp = 2400.0, 480000.0
         cfg = AtmConfig(config_nvertlevels=26, config_dt=dt,
-                        config_len_disp=len_disp)
+                        config_len_disp=len_disp,
+                        config_h_ScaleWithMesh=scale_with_mesh)
         t0 = time.perf_counter()
-        grid, state, diag = init_jw(mesh0, cfg, case=2)
+        jw_kw = {} if radius is None else {"radius": radius}
+        grid, state, diag = init_jw(mesh0, cfg, case=2, **jw_kw)
         setup_s = time.perf_counter() - t0
         grid = cast(grid)
         carry = init_carry(grid, cfg, cast(state), cast(diag), dt)

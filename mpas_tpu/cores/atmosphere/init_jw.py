@@ -66,26 +66,32 @@ def _sphere_distance(lat1, lon1, lat2, lon2, radius):
 
 
 def init_jw(mesh: Mesh, cfg: AtmConfig, case: int = 2,
-            n_scalars: int = 1, u0: float = U0):
+            n_scalars: int = 1, u0: float = U0, radius: float = EARTH_RADIUS):
     """Build (AtmGrid, AtmState, AtmDiag) for JW cases 1/2/3 on a unit-sphere
     mesh (scaled to Earth radius here, like the reference init).
 
     u0=0 produces a flat, horizontally uniform isothermal-profile resting
-    atmosphere (useful for balance/stability tests)."""
+    atmosphere (useful for balance/stability tests). radius < Earth gives
+    the DCMIP-style reduced-radius ("small planet") configuration: the IC
+    stays balanced because every radius-dependent term scales with it."""
     global U0
     U0_saved = U0
     U0 = u0
     try:
-        return _init_jw_impl(mesh, cfg, case, n_scalars)
+        return _init_jw_impl(mesh, cfg, case, n_scalars, radius)
     finally:
         U0 = U0_saved
 
 
-def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int):
-    mesh = mesh.scaled(EARTH_RADIUS)
+def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int,
+                  radius: float):
+    if cfg.config_h_ScaleWithMesh:
+        from mpas_tpu.mesh.build import compute_mesh_scaling
+        mesh = compute_mesh_scaling(mesh, True)
+    mesh = mesh.scaled(radius)
     nz = cfg.config_nvertlevels
     nC, nE = mesh.nCells, mesh.nEdges
-    r_earth = EARTH_RADIUS
+    r_earth = radius
 
     vg, sh, ah = build_vertical_grid(nz, zt=ZT, stretch=1.5)
     latC = np.asarray(mesh.latCell, dtype=np.float64)

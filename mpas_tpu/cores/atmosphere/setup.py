@@ -170,15 +170,23 @@ def build_cell_fit_matrices(mesh: Mesh):
         n = int(nEoC[c])
         nbrs = coc[c, :n]
         xs, ys = _tangent_coords(mesh, cxyz[c], cxyz[nbrs])
+        # nondimensionalize by the mean stencil distance: the raw Vandermonde
+        # mixes O(1) and O(dx^2) columns (condition ~1e20 in meters), which
+        # makes pinv blow up on irregular variable-resolution cells
+        L = np.sqrt(np.mean(xs * xs + ys * ys))
+        xs_, ys_ = xs / L, ys / L
         A = np.zeros((n + 1, 6))
         A[0, 0] = 1.0
         A[1:, 0] = 1.0
-        A[1:, 1] = xs
-        A[1:, 2] = ys
-        A[1:, 3] = xs * xs
-        A[1:, 4] = xs * ys
-        A[1:, 5] = ys * ys
-        bmats[c, :, :n + 1] = np.linalg.pinv(A)
+        A[1:, 1] = xs_
+        A[1:, 2] = ys_
+        A[1:, 3] = xs_ * xs_
+        A[1:, 4] = xs_ * ys_
+        A[1:, 5] = ys_ * ys_
+        B = np.linalg.pinv(A)
+        B[1:3, :] /= L          # fx, fy rows back to physical units
+        B[3:6, :] /= L * L      # fxx, fxy, fyy rows
+        bmats[c, :, :n + 1] = B
     return bmats
 
 
@@ -292,9 +300,14 @@ def build_adv_coefs(mesh: Mesh, deriv_two, coef_3rd_order: float):
     dc = np.asarray(mesh.dcEdge)
     dv = np.asarray(mesh.dvEdge)
 
-    advCells = np.zeros((nE, N_ADV), dtype=np.int64)
-    coefs = np.zeros((nE, N_ADV))
-    coefs3 = np.zeros((nE, N_ADV))
+    # stencil width: 2 cells + their distinct neighbors; N_ADV (=10) fits
+    # maxEdges=6 quasi-uniform meshes, variable-resolution meshes can have
+    # 7+-sided cells so the pad adapts (ref dims advCellsForEdge FIFTEEN,
+    # core_atmosphere/Registry.xml)
+    n_adv = max(N_ADV, 2 * mesh.maxEdges)
+    advCells = np.zeros((nE, n_adv), dtype=np.int64)
+    coefs = np.zeros((nE, n_adv))
+    coefs3 = np.zeros((nE, n_adv))
     nAdv = np.zeros(nE, dtype=np.int64)
     for e in range(nE):
         c1, c2 = int(coe[e, 0]), int(coe[e, 1])

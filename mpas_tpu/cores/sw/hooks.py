@@ -36,6 +36,21 @@ def parse_mesh_spec(spec: str):
         from mpas_tpu.mesh.planar import channel_hex_mesh
         nx, ny, dc = rest.split(",")
         return channel_hex_mesh(int(nx), int(ny), float(dc))
+    if kind == "varres":
+        # density-refined SCVT: varres:N[,ratio] (60-15km-style 4:1 default)
+        from mpas_tpu.mesh.cache import cached
+        from mpas_tpu.mesh.varres import variable_res_mesh
+        parts = rest.split(",")
+        n = int(parts[0])
+        ratio = float(parts[1]) if len(parts) > 1 else 4.0
+        return cached(f"varres{n}_r{ratio:g}",
+                      lambda: variable_res_mesh(n, iterations=30,
+                                                ratio=ratio))
+    if kind == "file" or spec.endswith(".nc"):
+        # an MPAS grid.nc / init.nc (ref mesh contract,
+        # core_sw/Registry.xml:54-167)
+        from mpas_tpu.mesh.gridfile import mesh_from_netcdf
+        return mesh_from_netcdf(rest if kind == "file" else spec)
     raise ValueError(f"unknown mesh spec {spec!r}")
 
 

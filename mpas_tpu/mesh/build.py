@@ -440,3 +440,25 @@ def build_mesh(cell_xyz, vertex_xyz, vertices_on_cell, *, on_sphere,
     )
     mesh.validate()
     return mesh
+
+
+def compute_mesh_scaling(mesh: Mesh, scale_with_mesh: bool = True) -> Mesh:
+    """del2/del4 dissipation scaling from meshDensity.
+
+    ref: atm_compute_mesh_scaling (mpas_atm_core.F:927-967) and
+    sw compute_mesh_scaling (mpas_sw_core.F:347):
+      del2 scale = ((rho(c1)+rho(c2))/2)^-0.25, del4 scale = ^-0.75,
+    with meshDensity normalized so the finest region has rho = 1
+    (cell width ~ rho^-1/4, the SCVT equidistribution exponent).
+    """
+    if not scale_with_mesh:
+        return mesh.replace(
+            meshScalingDel2=np.ones_like(np.asarray(mesh.meshScalingDel2)),
+            meshScalingDel4=np.ones_like(np.asarray(mesh.meshScalingDel4)))
+    rho = np.asarray(mesh.meshDensity, dtype=np.float64)
+    coe = np.asarray(mesh.cellsOnEdge)
+    rho_e = 0.5 * (rho[coe[:, 0]] + rho[coe[:, 1]])
+    dtype = np.asarray(mesh.meshScalingDel2).dtype
+    return mesh.replace(
+        meshScalingDel2=(rho_e ** -0.25).astype(dtype),
+        meshScalingDel4=(rho_e ** -0.75).astype(dtype))

@@ -90,30 +90,61 @@ def lloyd_relax(points, iterations: int = 0):
     return pts
 
 
-def sphere_voronoi_mesh(points, dtype=np.float64) -> Mesh:
-    """Build a unit-sphere Voronoi Mesh from generator points."""
+def sphere_voronoi_mesh(points, dtype=np.float64, merge_tol: float = 0.0
+                        ) -> Mesh:
+    """Build a unit-sphere Voronoi Mesh from generator points.
+
+    merge_tol > 0 additionally merges Voronoi vertices closer than
+    merge_tol x the local circumradius (distance to the nearest generator):
+    near-cocircular generator quadruples — common on variable-resolution
+    SCVTs before full convergence — otherwise produce near-zero dvEdge
+    edges that wreck the CFL limit (1/dvEdge rides the pv/circulation
+    stencils). The merged vertex sits at the cluster centroid; rings
+    collapse the vanished edges.
+    """
     pts = _normalize(np.asarray(points, dtype=np.float64))
     sv = SphericalVoronoi(pts, radius=1.0, threshold=1e-10)
     sv.sort_vertices_of_regions()
 
-    # dedup coincident circumcenters (symmetric configurations)
+    nv = len(sv.vertices)
+    parent = np.arange(nv, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # exact-coincidence clusters (symmetric configurations)
     key_to_id = {}
-    remap = np.empty(len(sv.vertices), dtype=np.int64)
-    vxyz = []
     for i, p in enumerate(sv.vertices):
         key = tuple(np.round(p * 1e9).astype(np.int64))
-        vid = key_to_id.get(key)
-        if vid is None:
-            vid = len(vxyz)
-            key_to_id[key] = vid
-            vxyz.append(p)
-        remap[i] = vid
-    vxyz = _normalize(np.asarray(vxyz))
+        j = key_to_id.setdefault(key, i)
+        if j != i:
+            parent[find(i)] = find(j)
+
+    if merge_tol > 0.0:
+        from scipy.spatial import cKDTree
+        # local scale: distance from each Voronoi vertex to nearest generator
+        gen_tree = cKDTree(pts)
+        circum, _ = gen_tree.query(sv.vertices, k=1)
+        vtree = cKDTree(sv.vertices)
+        for i, j in vtree.query_pairs(merge_tol * float(np.max(circum))):
+            d = np.linalg.norm(sv.vertices[i] - sv.vertices[j])
+            if d <= merge_tol * min(circum[i], circum[j]):
+                parent[find(i)] = find(j)
+
+    roots = np.array([find(i) for i in range(nv)], dtype=np.int64)
+    uniq, remap = np.unique(roots, return_inverse=True)
+    # cluster centroid (on the sphere)
+    vxyz = np.zeros((uniq.size, 3))
+    np.add.at(vxyz, remap, sv.vertices)
+    vxyz = _normalize(vxyz)
 
     vertices_on_cell = []
     for c, region in enumerate(sv.regions):
         ring = [int(remap[v]) for v in region]
-        # collapse dedup-repeated neighbors
+        # collapse merge-repeated neighbors (incl. wraparound)
         ring = [v for k, v in enumerate(ring) if v != ring[k - 1]]
         vertices_on_cell.append(ring)
 
