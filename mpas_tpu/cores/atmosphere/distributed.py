@@ -30,39 +30,14 @@ from mpas_tpu.cores.atmosphere.state import AtmDiag, AtmState
 from mpas_tpu.cores.atmosphere.time_integration import (AtmCarry, init_carry,
                                                         run_steps_xch)
 from mpas_tpu.parallel.layout import ShardedMesh, build_sharded_mesh
-from mpas_tpu.parallel.runner import (AXIS, neighbor_halo_exchange,
-                                      scatter_field, shard_leaves)
+from mpas_tpu.parallel.runner import (AXIS, ShardExchange, scatter_field,
+                                      shard_leaves)
 
 ATM_HALO_DEPTH = 4
 
-
-class _ShardExchange:
-    """Depth-selectable neighbor-schedule exchanges (ref: the haloLayers
-    argument of mpas_dmpar_exch_halo_field*; layer-1-only exchanges inside
-    the acoustic loop, mpas_atm_time_integration.F:792,845)."""
-
-    def __init__(self, cell_nx, edge_nx, full_depth):
-        self._c = cell_nx       # {depth: NeighborExchange}
-        self._e = edge_nx
-        self._full = full_depth
-
-    @staticmethod
-    def _pick(table, depth, full):
-        d = full if depth is None else min(depth, full)
-        if d in table:
-            return table[d]
-        for k in sorted(table):
-            if k >= d:
-                return table[k]
-        return table[max(table)]
-
-    def cell(self, x, depth=None):
-        return neighbor_halo_exchange(self._pick(self._c, depth, self._full),
-                                      x)
-
-    def edge(self, x, depth=None):
-        return neighbor_halo_exchange(self._pick(self._e, depth, self._full),
-                                      x)
+# kept name for in-module uses; the shared implementation lives in
+# parallel.runner (also used by the ocean sharded step)
+_ShardExchange = ShardExchange
 
 
 @struct.dataclass

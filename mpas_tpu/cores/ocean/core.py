@@ -432,9 +432,13 @@ _RK_S = (0.5, 0.5, 1.0, 0.0)
 
 
 def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt,
-             forcing=None) -> OcnState:
+             forcing=None, xch=None) -> OcnState:
     """ref: mpas_ocn_time_integration_rk4.F:74 — same pool choreography as
-    the SW core, with implicit vertical mixing applied after the RK update."""
+    the SW core, with implicit vertical mixing applied after the RK update.
+    xch: per-stage provisional-prognostic halo refresh (the sharded SW-core
+    strategy: exchange prognostics, recompute diagnostics in the halo)."""
+    ce = (lambda x, depth=None: x) if xch is None else xch.cell
+    ee = (lambda x, depth=None: x) if xch is None else xch.edge
     use_zt = cfg.config_use_freq_filtered_thickness \
         and state.highFreqThickness is not None
     u0, h0 = state.u, state.layerThickness
@@ -457,12 +461,13 @@ def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt,
         if stage < 3:
             w = dt * _RK_S[stage]
             hp = h0 + w * th
+            hp_safe = jnp.where(hp == 0.0, 1.0, hp)
             provis = OcnState(
-                u=u0 + w * tu, layerThickness=hp,
-                tracers=(hT0 + w * thT) / hp[..., None],
-                lowFreqDivergence=(lfd0 + w * tends[3]) if use_zt
+                u=ee(u0 + w * tu), layerThickness=ce(hp),
+                tracers=ce((hT0 + w * thT) / hp_safe[..., None]),
+                lowFreqDivergence=ce(lfd0 + w * tends[3]) if use_zt
                 else None,
-                highFreqThickness=(hhf0 + w * tends[4]) if use_zt
+                highFreqThickness=ce(hhf0 + w * tends[4]) if use_zt
                 else None)
     if cfg.config_use_min_max_thickness:
         # conservative per-column clamping of the ALE target thickness
@@ -470,7 +475,9 @@ def rk4_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState, dt,
         from mpas_tpu.cores.ocean.ztilde import min_max_thickness_filter
         h_acc = min_max_thickness_filter(grid, cfg, h_acc)
     out = OcnState(u=u_acc, layerThickness=h_acc,
-                   tracers=hT_acc / h_acc[..., None], ubtr=state.ubtr,
+                   tracers=hT_acc
+                   / jnp.where(h_acc == 0.0, 1.0, h_acc)[..., None],
+                   ubtr=state.ubtr,
                    lowFreqDivergence=lfd_acc, highFreqThickness=hhf_acc)
     return implicit_vertical_mix(grid, cfg, out, dt, forcing)
 
@@ -486,7 +493,7 @@ def _fperp(mesh: Mesh, v, f_at_edges):
 
 
 def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
-               dt, forcing=None) -> OcnState:
+               dt, forcing=None, xch=None) -> OcnState:
     """Split-explicit barotropic/baroclinic timestep (ref:
     ocn_time_integrator_split, mpas_ocn_time_integration_split.F:82-1926;
     Higdon 2005 scheme as implemented in MPAS-Ocean v7).
@@ -500,10 +507,18 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
                flux averaging (:632-1120); velocity correction (:1282-1345)
       stage 3  thickness/tracer update with the time-averaged transport
                velocity; midpoint state on non-final passes (:1390-1740)
-    followed by implicit vertical mixing. All subcycle loops are lax.scan
-    bodies — the reference's per-subcycle halo exchanges become the sharded
-    runner's exchange hooks.
+    followed by implicit vertical mixing.
+
+    xch: optional exchange hooks (ocean/distributed._ShardExchange) fired at
+    the reference's halo-exchange points: ubcl per bcl iteration, the
+    'subcycleFields' ssh+ubtr pair depth-restricted inside the barotropic
+    scan body (ref exchange-group reuse,
+    mpas_ocn_time_integration_split.F:771), the 'finalBtrFields' group after
+    subcycling (:1282-1290), and the stage-3 prognostics per outer pass.
+    None = single-device no-op.
     """
+    ce = (lambda x, depth=None: x) if xch is None else xch.cell
+    ee = (lambda x, depth=None: x) if xch is None else xch.edge
     mesh = grid.mesh
     c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
     not_bnd = 1.0 - mesh.boundaryEdge
@@ -548,19 +563,28 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
         h_edge_sum = jnp.sum(h_edge, axis=-1)
         tend_u = vel_tendency(grid, cfg, u_st, h_st, tr_st, w_for_tend, dt,
                               planetary=False)
+        h_edge_safe = jnp.where(h_edge_sum == 0.0, 1.0, h_edge_sum)
         for _ in range(n_bcl[outer]):
             fperp = _fperp(mesh, ubcl_new, f_edge)
             u_temp = ubcl_cur + dt * (tend_u + fperp
                                       + g * grad_e(ssh_new)[:, None])
-            G = jnp.sum(h_edge * u_temp, axis=-1) / h_edge_sum / dt
+            G = jnp.sum(h_edge * u_temp, axis=-1) / h_edge_safe / dt
             ubcl_new = 0.5 * (ubcl_cur + u_temp - dt * G[:, None]) \
                 * not_bnd[:, None]
+            # ref: normalBaroclinicVelocity exchanged per bcl iteration
+            ubcl_new = ee(ubcl_new)
+        G = ee(G)
 
         # --- stage 2: barotropic subcycling --------------------------------
         dtb = dt / n_btr
 
         def subcycle(carry, _):
             ssh_o, ubtr_o, ubtr_acc, flux_acc = carry
+            # 'subcycleFields' exchange-group reuse, depth-restricted (ref
+            # :771 — haloLayers 1:2 on ssh+ubtr; depth 2 restores the two
+            # rings this body consumes)
+            ssh_o = ce(ssh_o, depth=2)
+            ubtr_o = ee(ubtr_o, depth=2)
             # velocity predictor (ref :820-838)
             cor = _fperp(mesh, ubtr_o, f_edge)
             ubtr_n = not_bnd * (ubtr_o + dtb * (cor - g * grad_e(ssh_o) + G))
@@ -583,12 +607,15 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
                        jnp.zeros_like(ubtr_cur)), None, length=n_loop)
         flux_avg = flux_acc / n_loop
         ubtr_avg = ubtr_acc / (n_loop + 1)
+        # 'finalBtrFields' full-depth exchange (ref :1282-1290)
+        flux_avg = ee(flux_avg)
+        ubtr_avg = ee(ubtr_avg)
 
         # velocity correction (ref :1282-1345)
         u_full = ubtr_avg[:, None] + ubcl_new
         if cfg.config_vel_correction:
             corr = (flux_avg - jnp.sum(h_edge * u_full, axis=-1)) \
-                / h_edge_sum
+                / h_edge_safe
         else:
             corr = jnp.zeros_like(ubtr_avg)
         u_transport = (u_full + corr[:, None]) * not_bnd[:, None]
@@ -611,14 +638,18 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
             temp_h = h_cur + dt * tend_h
             h_new = 0.5 * (h_cur + temp_h)
             temp_tr = (tr_cur * h_cur[..., None] + dt * tend_hT) \
-                / temp_h[..., None]
+                / jnp.where(temp_h == 0.0, 1.0, temp_h)[..., None]
             tr_new = 0.5 * (tr_cur + temp_tr)
             u_new = ubtr_avg[:, None] + ubcl_new
+            # midpoint prognostics feed the next outer pass: refresh halos
+            # (ref: the 'combined' exchange between ts iterations, :1390+)
+            h_new = ce(h_new)
+            tr_new = ce(tr_new)
             ssh_new = jnp.sum(h_new, axis=-1) - grid.bottomDepth
         else:
             h_new = h_cur + dt * tend_h
             tr_new = (tr_cur * h_cur[..., None] + dt * tend_hT) \
-                / h_new[..., None]
+                / jnp.where(h_new == 0.0, 1.0, h_new)[..., None]
             # ubcl_new is at n+1/2: extrapolate to n+1 (ref :1733-1737)
             u_new = ubtr_avg[:, None] + 2.0 * ubcl_new - ubcl_cur
 
@@ -643,15 +674,15 @@ def apply_surface_forcing(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
 
 
 def ocn_timestep(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
-                 dt, forcing=None) -> OcnState:
+                 dt, forcing=None, xch=None) -> OcnState:
     """Integrator dispatch (ref: ocn_timestep,
     mpas_ocn_time_integration.F:80)."""
     if forcing is not None:
         state = apply_surface_forcing(grid, cfg, state, forcing, dt)
     if cfg.config_time_integrator == "split_explicit":
-        out = split_step(grid, cfg, state, dt, forcing)
+        out = split_step(grid, cfg, state, dt, forcing, xch=xch)
     elif cfg.config_time_integrator == "RK4":
-        out = rk4_step(grid, cfg, state, dt, forcing)
+        out = rk4_step(grid, cfg, state, dt, forcing, xch=xch)
     else:
         raise ValueError(
             f"unknown config_time_integrator "

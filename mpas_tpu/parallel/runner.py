@@ -48,6 +48,37 @@ def neighbor_halo_exchange(nx: NeighborExchange, field,
     return combined[nx.splice]
 
 
+class ShardExchange:
+    """Depth-selectable neighbor-schedule exchanges (ref: the haloLayers
+    argument of mpas_dmpar_exch_halo_field*; e.g. layer-1-only exchanges
+    inside the atm acoustic loop, mpas_atm_time_integration.F:792,845, and
+    the ocean barotropic subcycle's restricted 'subcycleFields' group,
+    mpas_ocn_time_integration_split.F:771)."""
+
+    def __init__(self, cell_nx, edge_nx, full_depth):
+        self._c = cell_nx       # {depth: NeighborExchange}
+        self._e = edge_nx
+        self._full = full_depth
+
+    @staticmethod
+    def _pick(table, depth, full):
+        d = full if depth is None else min(depth, full)
+        if d in table:
+            return table[d]
+        for k in sorted(table):
+            if k >= d:
+                return table[k]
+        return table[max(table)]
+
+    def cell(self, x, depth=None):
+        return neighbor_halo_exchange(self._pick(self._c, depth, self._full),
+                                      x)
+
+    def edge(self, x, depth=None):
+        return neighbor_halo_exchange(self._pick(self._e, depth, self._full),
+                                      x)
+
+
 def halo_exchange(xch: HaloExchange, field, axis_name: str = AXIS,
                   depth=None):
     """Refresh halo slots of a local field from their owners.
