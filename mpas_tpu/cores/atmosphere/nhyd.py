@@ -672,14 +672,22 @@ class AcousticVars(NamedTuple):
 def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
                   av: AcousticVars, dts,
                   theta_m, exner, w, rho_zz, rw, rw_save, ru, ru_save,
-                  tend_ru, tend_rho, tend_rt, tend_rw, cqu=1.0):
+                  tend_ru, tend_rho, tend_rt, tend_rw, cqu=1.0,
+                  xch_rtheta=None):
     """One forward-backward acoustic substep (ref :2447-2723).
 
     The reference special-cases small_step==1 (perturbation fields zeroed,
     averages reset, no pressure gradient; ref :2506-2522).  With `av`
     initialized to zeros at each RK stage the general branch reproduces
     that first step exactly (the pgrad terms vanish on zero perturbations),
-    so one uniform body runs under `lax.scan` over the substeps."""
+    so one uniform body runs under `lax.scan` over the substeps.
+
+    xch_rtheta: optional halo-refresh callable fired on rtheta_pp the
+    moment it is produced — the TPU analogue of the reference's
+    begin/local/end overlapped exchange (ref: mpas_dmpar.F:6993-7142):
+    the rho_pp recovery and wwAvg accumulation that follow are independent
+    of rtheta_pp, so XLA's async-collective scheduler can keep the
+    ppermute in flight behind them."""
     mesh = grid.mesh
     vg = grid.vert
     nz = vg.nz
@@ -736,6 +744,8 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
             coefs.cofrz, rdzw, coefs.a_tri, coefs.alpha_tri,
             coefs.gamma_tri, grid.zz, dss_int, rw_save - rw,
             zz_int * rho_int * w)
+        if xch_rtheta is not None:
+            rtheta_pp = xch_rtheta(rtheta_pp)
         return AcousticVars(ru_p=ru_p, rho_pp=rho_pp,
                             rtheta_pp=rtheta_pp,
                             rtheta_pp_old=rtheta_pp_old, rw_p=rw_p,
@@ -784,11 +794,14 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
         - dw_term[:, 1:nz]
     rw_p = jnp.concatenate([zpadc, rw_p_mid, zpadc], axis=-1)
 
-    wwAvg = wwAvg.at[:, 1:nz].add(0.5 * (1.0 + epssm) * rw_p[:, 1:nz])
-
-    rho_pp = rs - coefs.cofrz * (rw_p[:, 1:] - rw_p[:, :-1])
     rtheta_pp = ts - rdzw * (coefs.coftz[:, 1:] * rw_p[:, 1:]
                              - coefs.coftz[:, :-1] * rw_p[:, :-1])
+    if xch_rtheta is not None:
+        # overlap: permute in flight while rho_pp/wwAvg compute below
+        rtheta_pp = xch_rtheta(rtheta_pp)
+
+    wwAvg = wwAvg.at[:, 1:nz].add(0.5 * (1.0 + epssm) * rw_p[:, 1:nz])
+    rho_pp = rs - coefs.cofrz * (rw_p[:, 1:] - rw_p[:, :-1])
 
     return AcousticVars(ru_p=ru_p, rho_pp=rho_pp, rtheta_pp=rtheta_pp,
                         rtheta_pp_old=rtheta_pp_old, rw_p=rw_p,

@@ -199,18 +199,25 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
             # reference's small_step==1 reset is the zero-initialized `av`),
             # so the graph holds ONE acoustic step regardless of ns
             def acoustic_body(av_c, _, _rk=rk):
-                # ref: rho_pp exchanged before each small step (:792),
-                # rtheta_pp after (:845) — layer-1 halo exchanges
-                av_c = av_c._replace(rho_pp=xch.cell(av_c.rho_pp, depth=1))
-                # the acoustic system advects theta with the time-level-1
-                # (substep-start) theta_m (ref wrapper :2320 gets level 1)
+                # Exchange choreography = the reference's layer-1 rho_pp /
+                # rtheta_pp exchanges (:792,:845), restructured producer-side
+                # for compute/comm overlap (the begin/local/end split of
+                # mpas_dmpar.F:6993-7142 expressed as async-collective
+                # scheduling): each field's ppermute is issued the moment the
+                # field is produced, with independent work after it —
+                # rtheta_pp's permute rides behind the rho_pp recovery
+                # (inside acoustic_step), rho_pp's behind the divergence
+                # damping. Values at every consumption point are identical
+                # to the consumer-side placement: iteration k+1's pgrad
+                # reads the same refreshed halos either way (iteration 1
+                # enters with zero-initialized, trivially-valid fields).
                 av_c = acoustic_step(
                     grid, cfg, coefs, av_c, rk_sub[_rk - 1],
                     th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
                     tend_u, tend_rho, tend_theta, tend_rw,
-                    cqu=cqu if moist else 1.0)
-                av_c = av_c._replace(
-                    rtheta_pp=xch.cell(av_c.rtheta_pp, depth=1))
+                    cqu=cqu if moist else 1.0,
+                    xch_rtheta=lambda x: xch.cell(x, depth=1))
+                av_c = av_c._replace(rho_pp=xch.cell(av_c.rho_pp, depth=1))
                 av_c = divergence_damping_3d(grid, cfg, av_c,
                                              rk_sub[_rk - 1], th_save)
                 return av_c, None
