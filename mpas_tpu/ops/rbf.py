@@ -255,6 +255,75 @@ def func_3d_plane_vec_const_dir_coeffs(source_points, unit_vectors,
 
 
 # ---------------------------------------------------------------------------
+# 3-D vector constant-basis tangent-Neumann (free-slip) coefficients
+# (ref :1149-1352 + matrix setup
+#  mpas_set_up_vector_free_slip_rbf_matrix_and_rhs :1571-1617)
+# ---------------------------------------------------------------------------
+
+def _vector_free_slip_system(source_points, is_tangent, normal_index,
+                             unit_vectors, destination_point, alpha):
+    """ref mpas_set_up_vector_free_slip_rbf_matrix_and_rhs (:1571).
+
+    Column j of the matrix carries phi * (u_i . u_j) for Dirichlet
+    (non-tangent) sources and (phi'/r)/alpha^2 * (n_j.(x_j - x_i))
+    * (u_i . u_j) for tangent sources, where n_j =
+    unit_vectors[normal_index[j]] — the normal-derivative constraint of the
+    free-slip condition. The rhs is the plain Dirichlet rhs.
+    """
+    diff = source_points[:, None] - source_points[None, :]    # (N,N,d) i-j
+    r2 = jnp.sum(diff ** 2, -1) / alpha ** 2
+    phi = rbf_value(r2)
+    dphi_over_r = rbf_derivs(r2)[1]
+    uu = unit_vectors @ unit_vectors.T                        # (N,N) i.j
+    nvec = unit_vectors[normal_index]                         # (N,d) per j
+    # n_j . (x_j - x_i) = -n_j . diff[i,j]
+    ndx = -jnp.einsum("ijd,jd->ij", diff, nvec)
+    m_dir = phi * uu
+    m_neu = (dphi_over_r / alpha ** 2) * ndx * uu
+    m = jnp.where(is_tangent[None, :], m_neu, m_dir)
+    r2d = jnp.sum((destination_point[None, :] - source_points) ** 2, -1)
+    rhs = rbf_value(r2d / alpha ** 2)[:, None] * unit_vectors
+    return m, rhs
+
+
+def func_3d_vec_const_tan_neu_coeffs(source_points, is_tangent,
+                                     normal_index, unit_vectors,
+                                     destination_point, alpha, valid=None):
+    """Free-slip vector coefficients (ref :1189-1236): reconstruct the full
+    vector at `destination_point` from u.n at non-tangent sources and
+    (du/dn).u_j at tangent sources (Dirichlet-normal / Neumann-tangential —
+    the free-slip boundary condition). Returns (N, d) coefficients."""
+    n, d = source_points.shape
+    m0, rhs0 = _vector_free_slip_system(source_points, is_tangent,
+                                        normal_index, unit_vectors,
+                                        destination_point, alpha)
+    # constant-vector block: bottom rows always carry unitVectors; the
+    # right column does so only for non-tangent sources (ref :1222-1227)
+    right = jnp.where(is_tangent[:, None], 0.0, unit_vectors)
+    m = jnp.block([[m0, right],
+                   [unit_vectors.T, jnp.zeros((d, d), m0.dtype)]])
+    rhs = jnp.concatenate([rhs0, jnp.eye(d, dtype=m0.dtype)], 0)
+    v = jnp.ones(n + d, bool) if valid is None \
+        else jnp.concatenate([valid, jnp.ones(d, bool)])
+    return _masked_solve(m, rhs, v)[:n]
+
+
+def func_3d_plane_vec_const_tan_neu_coeffs(source_points, is_tangent,
+                                           normal_index, unit_vectors,
+                                           destination_point, plane_basis,
+                                           alpha, valid=None):
+    """Planar free-slip variant (ref :1286-1352): project sources/vectors
+    onto the tangent plane, solve the 2-D free-slip system, map the
+    coefficients back to 3-D."""
+    sp = source_points @ plane_basis.T          # (N, 2)
+    uv = unit_vectors @ plane_basis.T
+    dp = plane_basis @ destination_point
+    c2 = func_3d_vec_const_tan_neu_coeffs(sp, is_tangent, normal_index,
+                                          uv, dp, alpha, valid=valid)
+    return c2 @ plane_basis                     # (N, 3)
+
+
+# ---------------------------------------------------------------------------
 # geometric initialization (ref mpas_rbf_interp_initialize :110-160 and
 # mpas_vector_operations.F:652 mpas_initialize_vectors)
 # ---------------------------------------------------------------------------

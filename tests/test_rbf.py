@@ -139,3 +139,141 @@ class TestVectorReconstruction:
         ux, uy, uz, uzon, umer = rbf.reconstruct(mesh, coeffs, u)
         assert ux.shape == (mesh.nCells, 4)
         assert np.isfinite(np.asarray(uzon)).all()
+
+
+class TestVectorFreeSlip:
+    """Free-slip (Dirichlet-normal / tangent-Neumann) vector variants
+    (ref: mpas_rbf_interp_func_3D_vec_const_tan_neu_comp_coeffs :1189-1236,
+    planar :1286-1352, system :1571-1617)."""
+
+    def _setup(self, rng):
+        # interior source points above a wall at y=0, plus wall points
+        interior = np.array([[0.3, 0.8], [1.1, 0.6], [0.7, 1.3],
+                             [1.6, 1.0], [0.1, 1.5]])
+        wall = np.array([[0.4, 0.0], [1.2, 0.0]])
+        ang = rng.uniform(0, 2 * np.pi, size=len(interior))
+        uv_int = np.stack([np.cos(ang), np.sin(ang)], -1)
+        pts, uvs, tang, nidx = [], [], [], []
+        for p, u in zip(interior, uv_int):
+            pts.append(p); uvs.append(u); tang.append(False); nidx.append(0)
+        for p in wall:
+            i_n = len(pts)
+            pts.append(p); uvs.append([0.0, 1.0])      # wall normal (y)
+            tang.append(False); nidx.append(i_n)
+            pts.append(p); uvs.append([1.0, 0.0])      # wall tangent (x)
+            tang.append(True); nidx.append(i_n)
+        return (np.asarray(pts), np.asarray(uvs, dtype=float),
+                np.asarray(tang), np.asarray(nidx))
+
+    def _reference_coeffs(self, pts, tang, nidx, uvs, dest, alpha):
+        """Literal numpy transcription of the reference routine
+        (:1189-1236 + :1571-1617) as the parity oracle."""
+        n, d = pts.shape
+        M = np.zeros((n + d, n + d))
+        rhs = np.zeros((n + d, d))
+        for j in range(n):
+            if tang[j]:
+                for i in range(n):
+                    r2 = np.sum((pts[i] - pts[j]) ** 2) / alpha ** 2
+                    nv = uvs[nidx[j]]
+                    ndx = np.sum(nv * (pts[j] - pts[i]))
+                    v = 1.0 / np.sqrt(1.0 + r2)
+                    dphi_over_r = -(v ** 3) / alpha ** 2
+                    M[i, j] = dphi_over_r * ndx * np.dot(uvs[i], uvs[j])
+            else:
+                for i in range(n):
+                    r2 = np.sum((pts[i] - pts[j]) ** 2) / alpha ** 2
+                    M[i, j] = np.dot(uvs[i], uvs[j]) / np.sqrt(1.0 + r2)
+        for i in range(n):
+            M[n:, i] = uvs[i]
+            if not tang[i]:
+                M[i, n:] = uvs[i]
+        for k in range(d):
+            rhs[n + k, k] = 1.0
+        for j in range(n):
+            r2 = np.sum((dest - pts[j]) ** 2) / alpha ** 2
+            rhs[j, :] = uvs[j] / np.sqrt(1.0 + r2)
+        return np.linalg.solve(M, rhs)[:n]
+
+    def test_matches_reference_transcription(self):
+        rng = np.random.default_rng(7)
+        pts, uvs, tang, nidx = self._setup(rng)
+        dest = np.array([0.9, 0.4])
+        c = rbf.func_3d_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts), jnp.asarray(tang), jnp.asarray(nidx),
+            jnp.asarray(uvs), jnp.asarray(dest), alpha=0.8)
+        c_ref = self._reference_coeffs(pts, tang, nidx, uvs, dest, 0.8)
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-10)
+
+    def test_normal_constant_exact(self):
+        """A constant field orthogonal to every tangent direction is in the
+        scheme's exact reproduction space (the constant-basis block)."""
+        rng = np.random.default_rng(7)
+        pts, uvs, tang, nidx = self._setup(rng)
+        u0 = np.array([0.0, 0.9])   # wall-normal constant
+        vals = np.where(tang, 0.0, uvs @ u0)
+        dest = np.array([0.9, 0.4])
+        c = rbf.func_3d_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts), jnp.asarray(tang), jnp.asarray(nidx),
+            jnp.asarray(uvs), jnp.asarray(dest), alpha=0.8)
+        got = np.asarray(c).T @ vals
+        np.testing.assert_allclose(got, u0, atol=1e-9)
+
+    def test_reduces_to_dirichlet_without_tangents(self):
+        rng = np.random.default_rng(8)
+        pts = rng.uniform(0, 2, size=(7, 2))
+        ang = rng.uniform(0, 2 * np.pi, size=7)
+        uvs = np.stack([np.cos(ang), np.sin(ang)], -1)
+        tang = np.zeros(7, bool)
+        nidx = np.zeros(7, np.int64)
+        dest = np.array([1.0, 1.0])
+        c_fs = rbf.func_3d_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts), jnp.asarray(tang), jnp.asarray(nidx),
+            jnp.asarray(uvs), jnp.asarray(dest), alpha=0.9)
+        c_dir = rbf.func_3d_vector_const_dir_coeffs(
+            jnp.asarray(pts), jnp.asarray(uvs), jnp.asarray(dest),
+            alpha=0.9)
+        np.testing.assert_allclose(np.asarray(c_fs), np.asarray(c_dir),
+                                   atol=1e-12)
+
+    def test_free_slip_shear_reconstruction(self):
+        """Free-slip shear u=(a*y, 0): wall data are u.n=0 and du_t/dn=a;
+        the reconstruction must recover the shear sign and magnitude to
+        leading order at an interior point."""
+        rng = np.random.default_rng(7)
+        pts, uvs, tang, nidx = self._setup(rng)
+        a = 2.0
+        field = lambda p: np.array([a * p[1], 0.0])
+        vals = np.empty(len(pts))
+        for j in range(len(pts)):
+            if tang[j]:
+                vals[j] = a * uvs[j][0]     # du/dn . u_t = a
+            else:
+                vals[j] = field(pts[j]) @ uvs[j]
+        dest = np.array([0.9, 0.5])
+        c = rbf.func_3d_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts), jnp.asarray(tang), jnp.asarray(nidx),
+            jnp.asarray(uvs), jnp.asarray(dest), alpha=0.8)
+        got = np.asarray(c).T @ vals
+        expect = field(dest)
+        assert abs(got[0] - expect[0]) < 0.35 * abs(expect[0])
+        assert abs(got[1]) < 0.35 * abs(expect[0])
+
+    def test_planar_variant_matches_2d(self):
+        """The planar variant in a tilted embedding equals the 2-D solve
+        mapped through the basis (ref :1286-1352 projection chain)."""
+        rng = np.random.default_rng(9)
+        pts2, uvs2, tang, nidx = self._setup(rng)
+        b1 = np.array([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+        b2 = np.array([0.0, 1.0, 0.0])
+        basis = np.stack([b1, b2])
+        dest2 = np.array([0.9, 0.4])
+        c2 = rbf.func_3d_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts2), jnp.asarray(tang), jnp.asarray(nidx),
+            jnp.asarray(uvs2), jnp.asarray(dest2), alpha=0.8)
+        c3 = rbf.func_3d_plane_vec_const_tan_neu_coeffs(
+            jnp.asarray(pts2 @ basis), jnp.asarray(tang),
+            jnp.asarray(nidx), jnp.asarray(uvs2 @ basis),
+            jnp.asarray(dest2 @ basis), jnp.asarray(basis), alpha=0.8)
+        np.testing.assert_allclose(np.asarray(c3),
+                                   np.asarray(c2) @ basis, atol=1e-10)
