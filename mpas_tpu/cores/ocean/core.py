@@ -146,6 +146,10 @@ class OcnGrid:
     # an epsilon thickness and are excluded from every flux.
     cellMask: Any = None    # (nCells, nz)
     edgeMask: Any = None    # (nEdges, nz)
+    # surface pressure applied at the top of the pressure integral (ref:
+    # the surfacePressure/landIcePressure term of ocn_diagnostics pressure,
+    # mpas_ocn_diagnostics.F — land-ice cavities, sea-ice loading)
+    surfacePressure: Any = None   # (nCells,)
 
 
 def build_level_masks(mesh, maxLevelCell, nz, dtype=np.float64):
@@ -232,6 +236,8 @@ def vel_tendency(grid: OcnGrid, cfg: OcnConfig, u, h, tr, w_top, dt,
     gh = gravity * rho * h
     inc = 0.5 * (gh[:, :-1] + gh[:, 1:])
     p = jnp.cumsum(jnp.concatenate([0.5 * gh[:, :1], inc], axis=1), axis=1)
+    if grid.surfacePressure is not None:
+        p = p + grid.surfacePressure[:, None]
     ssh = jnp.sum(h, axis=-1) - grid.bottomDepth
     depth_above = jnp.cumsum(jnp.concatenate(
         [jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1), axis=1)
@@ -540,7 +546,17 @@ def split_step(grid: OcnGrid, cfg: OcnConfig, state: OcnState,
     gam2 = cfg.config_btr_gam2_SSHWt1
     gam3 = cfg.config_btr_gam3_velWt2
 
-    grad_e = lambda fld: (fld[c2] - fld[c1]) * mesh.invDcEdge * not_bnd
+    _grad_e = lambda fld: (fld[c2] - fld[c1]) * mesh.invDcEdge * not_bnd
+    if grid.surfacePressure is not None:
+        # under land ice the barotropic gradient acts on the pressure-
+        # adjusted SSH (ref: the landIcePressure contribution to the
+        # barotropic forcing in ocn_diagnostics / the split integrator):
+        # grad(ssh_eff) with ssh_eff = ssh + p_surf/(g rho0)
+        p_corr = grid.surfacePressure \
+            / (g * cfg.config_eos_linear_densityref)
+        grad_e = lambda fld: _grad_e(fld + p_corr)
+    else:
+        grad_e = _grad_e
     # barotropic column thickness at edges (ref :906-907): sshEdge + min of
     # the neighboring resting depths
     min_depth = jnp.minimum(grid.bottomDepth[c1], grid.bottomDepth[c2])

@@ -66,6 +66,8 @@ def shard_ocn_grid(grid: OcnGrid, part, halo_depth: int = OCN_HALO_DEPTH
                   if grid.cellMask is not None else None),
         edgeMask=(sc(grid.edgeMask, "edge")
                   if grid.edgeMask is not None else None),
+        surfacePressure=(sc(grid.surfacePressure, "cell")
+                         if grid.surfacePressure is not None else None),
     )
     return ShardedOcn(grid=local, smesh=smesh)
 

@@ -401,3 +401,157 @@ def init_global_ocean_idealized(mesh: Mesh, nz: int = 20,
     f = zero_forcing(nC, dtype=np.asarray(h0).dtype)
     forcing = f.replace(windStressZonal=np.asarray(tau, dtype=dtype))
     return grid, state, forcing
+
+
+# ---------------------------------------------------------------------------
+# ssh / land-ice pressure balance utility
+# (ref: mpas_ocn_init_ssh_and_landIcePressure.F:91-420)
+# ---------------------------------------------------------------------------
+
+def ssh_and_land_ice_pressure_balance(grid, state, ssh=None,
+                                      land_ice_pressure=None,
+                                      variable="landIcePressure",
+                                      dtype=np.float64):
+    """Balance land-ice pressure against SSH so the initial barotropic
+    pressure-gradient force under the ice shelf is small (ref:
+    ocn_init_ssh_and_landIcePressure_balance,
+    mpas_ocn_init_ssh_and_landIcePressure.F:107-420).
+
+    variable='landIcePressure': given ssh (<= 0, the ice draft), compute
+      landIcePressure = g * integral of in-situ density from z=ssh to 0
+      using the column's upper-layer densities (the reference's effective
+      seawater density within the land ice).
+    variable='ssh': given landIcePressure, invert the same hydrostatic
+      relation for ssh.
+    Also squashes the column's layer thicknesses so it spans
+    [-bottomDepth, ssh] (the reference's vertical-grid update), scaling
+    live layers proportionally. Returns (state', ssh, landIcePressure).
+    """
+    from mpas_tpu.cores.ocean.core import OcnConfig, equation_of_state
+    g = 9.80616
+    cfg = OcnConfig(config_eos_type="jm")
+    h = np.asarray(state.layerThickness, dtype=np.float64)
+    T = np.asarray(state.tracers[..., 0], dtype=np.float64)
+    S = np.asarray(state.tracers[..., 1], dtype=np.float64)
+    rho = np.asarray(equation_of_state(cfg, T, S))
+    rho_top = rho[:, 0]
+    if variable == "ssh":
+        assert land_ice_pressure is not None
+        lip = np.asarray(land_ice_pressure, dtype=np.float64)
+        ssh = -lip / (g * np.maximum(rho_top, 1.0))
+    else:
+        assert ssh is not None
+        ssh = np.asarray(ssh, dtype=np.float64)
+        lip = g * np.maximum(rho_top, 1.0) * (-ssh)
+    # squash live layers so the column spans [-bottomDepth, ssh]
+    bd = np.asarray(grid.bottomDepth, dtype=np.float64)
+    mlc = np.asarray(grid.maxLevelCell)
+    k = np.arange(grid.nz)
+    live = k[None, :] < mlc[:, None]
+    h_live = np.where(live, h, 0.0)
+    col = np.sum(h_live, -1)
+    target = np.maximum(bd + ssh, 1e-2)
+    scale = target / np.maximum(col, 1e-12)
+    h_new = np.where(live, h_live * scale[:, None], h)
+    state = state.replace(
+        layerThickness=np.asarray(h_new, dtype=dtype))
+    return state, ssh.astype(dtype), lip.astype(dtype)
+
+
+def init_isomip_plus(mesh: Mesh, nz: int = 30, dtype=np.float64,
+                     warm: bool = True):
+    """ISOMIP+ Ocean0-style cavity (ref: mpas_ocn_init_isomip_plus.F):
+    linear-in-depth T/S between (top_temp, top_sal) and (bottom_temp,
+    bottom_sal), an ice draft ramp from the grounding line to the open
+    front, the ssh/landIcePressure balance applied, and far-field
+    restoring masks at the open-ocean end. Returns (grid, state, extras)
+    with extras = {landIceDraft, landIcePressure, restoringMask,
+    restoringT, restoringS}."""
+    bottom_depth = 720.0
+    nC = mesh.nCells
+    y = np.asarray(mesh.yCell)
+    ly = max(y.max() - y.min(), 1.0)
+    yfrac = (y - y.min()) / ly
+    # ice shelf occupies the first 60% of the domain: draft ramps from
+    # 640 m (grounding line) to 0 at the front (ISOMIP+ Ocean0 genre)
+    front = 0.6
+    draft = np.where(yfrac < front,
+                     640.0 * (1.0 - yfrac / front), 0.0)
+    grid, h0 = _pbc_grid(mesh, nz, np.full(nC, bottom_depth), bottom_depth,
+                         dtype,
+                         coriolis=lambda yy, lat: np.full_like(yy, -1.4e-4))
+    if warm:
+        top_t, bot_t, top_s, bot_s = -1.9, 1.0, 33.8, 34.7
+    else:
+        top_t, bot_t, top_s, bot_s = -1.9, -1.9, 33.8, 34.55
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    frac = np.clip(-z_mid / bottom_depth, 0.0, 1.0)
+    T = (1.0 - frac) * top_t + frac * bot_t
+    S = (1.0 - frac) * top_s + frac * bot_s
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    state, ssh, lip = ssh_and_land_ice_pressure_balance(
+        grid, state, ssh=-draft, variable="landIcePressure", dtype=dtype)
+    grid = grid.replace(surfacePressure=lip)
+    # far-field (open ocean end) 3-D restoring masks (ref :280-320)
+    restoring = np.clip((yfrac - 0.9) / 0.1, 0.0, 1.0)
+    extras = {"landIceDraft": (-draft).astype(dtype),
+              "landIcePressure": lip,
+              "restoringMask": restoring.astype(dtype),
+              "restoringT": np.asarray(T, dtype=dtype),
+              "restoringS": np.asarray(S, dtype=dtype)}
+    return grid, state, extras
+
+
+def init_periodic_planar(mesh: Mesh, nz: int = 10, dtype=np.float64,
+                         velocity_strength: float = 1.0,
+                         bottom_depth: float = 1000.0):
+    """Doubly periodic planar debug configuration (ref:
+    mpas_ocn_init_periodic_planar.F:77-361): uniform T/S, layer
+    thicknesses from uniform interface locations, and a divergence-free
+    velocity from the vertex streamfunction psi = y * strength
+    (u_e = -(psi_v2 - psi_v1)/dvEdge -> uniform +x flow)."""
+    nC = mesh.nCells
+    grid, h0 = _uniform_grid(mesh, nz, bottom_depth, dtype, coriolis=1e-4)
+    T = np.full((nC, nz), 15.0)
+    S = np.full((nC, nz), 35.0)
+    psi_v = np.asarray(mesh.yVertex, dtype=np.float64) * velocity_strength
+    voe = np.asarray(mesh.verticesOnEdge)
+    dv = np.asarray(mesh.dvEdge, dtype=np.float64)
+    # minimal-image handling of the periodic seam: a psi jump larger than
+    # half the period is a wrap, shift by one period
+    dpsi = psi_v[voe[:, 1]] - psi_v[voe[:, 0]]
+    if mesh.y_period > 0.0:
+        p = mesh.y_period * velocity_strength
+        dpsi = dpsi - p * np.round(dpsi / p)
+    u_e = -(dpsi / np.maximum(dv, 1e-12))[:, None] * np.ones((1, nz))
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype, u=u_e)
+    return grid, state
+
+
+def init_ecosys_column(mesh: Mesh, nz: int = 30, dtype=np.float64):
+    """Ecosystem column test (ref: mpas_ocn_init_ecosys_column.F — column
+    ecosys state over an idealized stratification; the reference reads
+    initial profiles from file, here they are the standard analytic
+    equivalents): stratified T/S plus the 8 ecosys-class tracers of
+    bgc.EcosysParams (NO3, SiO3, Fe, spN, diatN, zooN, detN, detSi) with
+    nutrient-rich deep water and seed plankton in the euphotic zone.
+    Returns (grid, state)."""
+    bottom_depth = 300.0
+    nC = mesh.nCells
+    grid, h0 = _uniform_grid(mesh, nz, bottom_depth, dtype)
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    T = 4.0 + 16.0 * np.exp(z_mid / 50.0)
+    S = np.full((nC, nz), 34.5)
+    zf = -z_mid
+    no3 = 1.0 + 30.0 * zf / (zf + 100.0)          # nutricline
+    sio3 = 2.0 + 60.0 * zf / (zf + 150.0)
+    fe = 1e-4 + 5e-4 * zf / (zf + 200.0)          # mmol/m3 (~0.1-0.6 nM)
+    eu = np.exp(z_mid / 30.0)                     # euphotic seed profile
+    sp = 0.1 * eu
+    diat = 0.1 * eu
+    zoo = 0.05 * eu
+    detn = np.full((nC, nz), 1e-3)
+    detsi = np.full((nC, nz), 1e-3)
+    tracers = np.stack([T, S, no3, sio3, fe, sp, diat, zoo, detn, detsi],
+                       axis=-1)
+    return grid, _state(mesh, nz, h0, tracers, dtype)
