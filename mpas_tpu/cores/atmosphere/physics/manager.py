@@ -43,7 +43,10 @@ class PhysicsConfig:
     config_pbl_scheme: str = "ysu"           # "ysu" | "mynn"
     config_conv_scheme: str = "kf"           # "kf" | "tiedtke" | "grell_freitas"
     config_lsm_scheme: str = "slab"          # "slab" | "noah"
-    config_radiation_scheme: str = "broadband"   # "broadband" | "kdist"
+    # "broadband" (gray) | "kdist" (RRTMG-class correlated-k) | "cam"
+    # (CAM-class absorptivity/emissivity LW + delta-Eddington adding SW,
+    # ref module_ra_cam.F)
+    config_radiation_scheme: str = "broadband"
     config_gwdo_scheme: str = "off"
     config_cldfra_scheme: str = "off"        # "off" | "cldfra3"
     config_sfclay_scheme: str = "mm5"        # "mm5" | "mynn"
@@ -70,6 +73,11 @@ class PhysicsState:
     swe: Any = None       # (nCells,) snow water equivalent (m)
     # MYNN prognostic TKE (None in YSU mode; ref qke diag_physics field)
     qke: Any = None       # (nCells, nz)
+    # surface-type masks (ref sfc_input XICE/landuse ISICE/glacier):
+    # fractional sea ice and permanent-ice (glacial) flags; None = open
+    # land everywhere
+    xice: Any = None      # (nCells,) sea-ice fraction [0, 1]
+    isice: Any = None     # (nCells,) 1.0 on glacial landuse
 
 
 def init_physics_state(n_cells, nz, tsk0=288.0, dtype=jnp.float64,
@@ -151,6 +159,11 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
                                                              rrtmg_sw)
         lw_tend, glw, _olr = rrtmg_lw(t, qv, qc, rho, dz, phys.tsk)
         sw_tend, gsw = rrtmg_sw(qv, qc, rho, dz, mu, cfg.albedo)
+    elif cfg.config_radiation_scheme == "cam":
+        from mpas_tpu.cores.atmosphere.physics.cam_radiation import (cam_lw,
+                                                                     cam_sw)
+        lw_tend, glw, _olr = cam_lw(t, qv, qc, rho, dz, phys.tsk)
+        sw_tend, gsw = cam_sw(qv, qc, rho, dz, mu, cfg.albedo)
     else:
         lw_tend, glw, _olr = radiation_lw(t, qv, qc, rho, dz, phys.tsk)
         sw_tend, gsw = radiation_sw(qv, qc, rho, dz, mu, cfg.albedo)
@@ -179,14 +192,34 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
                      qv[:, 0], p[:, 0], rho[:, 0], z_mid[:, 0], phys.tsk,
                      qsfc, cfg.roughness_m)
 
-    # --- LSM: advance skin temperature (ref: driver_lsm) ---
+    # --- LSM: advance skin temperature (ref: driver_lsm; the
+    # seaice/glacial variants dispatch per point exactly as
+    # module_sf_noah_seaice_drv.F / the glacial branch of
+    # module_sf_noahdrv.F select on XICE and the ISICE landuse) ---
     if cfg.config_lsm_scheme == "noah":
         out = noah.noah_lsm(phys.tsk, phys.tslb, phys.smois, phys.swe,
                             gsw, glw, sfc["hfx"], sfc["lh"],
                             jnp.zeros_like(phys.tsk), dt)
-        tsk_new = out["tsk"]
-        phys = phys.replace(tslb=out["tslb"], smois=out["smois"],
-                            swe=out["swe"])
+        tsk_new, tslb_new, swe_new = out["tsk"], out["tslb"], out["swe"]
+        if phys.isice is not None:
+            gl = noah.noah_glacial(phys.tsk, phys.tslb, phys.swe,
+                                   gsw, glw, sfc["hfx"], sfc["lh"], dt)
+            w = phys.isice[:, None]
+            tsk_new = jnp.where(phys.isice > 0.5, gl["tsk"], tsk_new)
+            tslb_new = jnp.where(w > 0.5, gl["tslb"], tslb_new)
+            swe_new = jnp.where(phys.isice > 0.5, gl["swe"], swe_new)
+        if phys.xice is not None:
+            si = noah.noah_seaice(phys.tsk, phys.tslb, phys.swe,
+                                  gsw, glw, sfc["hfx"], sfc["lh"], dt)
+            # fractional blend on the ice fraction (ref: the XICE
+            # fractional treatment of module_sf_noah_seaice_drv.F)
+            xi = jnp.clip(phys.xice, 0.0, 1.0)
+            tsk_new = xi * si["tsk"] + (1.0 - xi) * tsk_new
+            tslb_new = xi[:, None] * si["tslb"] \
+                + (1.0 - xi[:, None]) * tslb_new
+            swe_new = xi * si["swe"] + (1.0 - xi) * swe_new
+        phys = phys.replace(tslb=tslb_new, smois=out["smois"],
+                            swe=swe_new)
     else:
         tsk_new, _g = lsm_mod.slab_lsm(phys.tsk, phys.t_deep, gsw, glw,
                                        sfc["hfx"], sfc["lh"], dt)
