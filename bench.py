@@ -23,7 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="jw_120km",
                     choices=["jw_120km", "jw_480km", "jw_var60_15",
+                             "jw_120km_nz55", "supercell_2km",
+                             "ocean_channel_10km",
                              "sw_tc5_120km", "sw_tc5_480km"])
+    ap.add_argument("--roofline", action="store_true",
+                    help="add XLA cost-analysis flop/byte accounting")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
@@ -74,7 +78,12 @@ def main():
             mesh0 = cached("icos16_l4",
                            lambda: icosahedral_mesh(16, lloyd_iters=4))
             dt, len_disp = 2400.0, 480000.0
-        cfg = AtmConfig(config_nvertlevels=26, config_dt=dt,
+        nz = 55 if args.config == "jw_120km_nz55" else 26
+        if args.config == "jw_120km_nz55":
+            mesh0 = cached("icos64_l4",
+                           lambda: icosahedral_mesh(64, lloyd_iters=4))
+            dt, len_disp = 720.0, 120000.0
+        cfg = AtmConfig(config_nvertlevels=nz, config_dt=dt,
                         config_len_disp=len_disp,
                         config_h_ScaleWithMesh=scale_with_mesh)
         t0 = time.perf_counter()
@@ -89,6 +98,64 @@ def main():
         def run(n):
             out = run_steps(grid, cfg, carry, dt, n)
             return out.state.u
+
+        def lower_run(n):
+            return run_steps.lower(grid, cfg, carry, dt, n)
+    elif args.config == "supercell_2km":
+        # BASELINE coverage config 3: idealized supercell with monotonic
+        # moist (Kessler) transport on a doubly periodic 2-km planar mesh
+        from mpas_tpu.cores.atmosphere.config import AtmConfig
+        from mpas_tpu.cores.atmosphere.init_supercell import init_supercell
+        from mpas_tpu.cores.atmosphere.time_integration import (init_carry,
+                                                                run_steps)
+        from mpas_tpu.mesh.planar import planar_hex_mesh
+        cfg = AtmConfig(config_dt=12.0, config_nvertlevels=40,
+                        config_len_disp=2000.0, config_xnutr=0.0,
+                        config_microp_scheme="mp_kessler",
+                        config_monotonic=True)
+        t0 = time.perf_counter()
+        mesh0 = planar_hex_mesh(96, 96, 2000.0)
+        grid, state, diag = init_supercell(mesh0, cfg, case=5)
+        setup_s = time.perf_counter() - t0
+        grid = cast(grid)
+        dt = cfg.config_dt
+        carry = init_carry(grid, cfg, cast(state), cast(diag), dt)
+        n_cols = grid.mesh.nCells
+        n_levels = cfg.config_nvertlevels
+
+        def run(n):
+            out = run_steps(grid, cfg, carry, dt, n)
+            return out.state.u
+
+        def lower_run(n):
+            return run_steps.lower(grid, cfg, carry, dt, n)
+    elif args.config == "ocean_channel_10km":
+        # BASELINE coverage config 4: ocean baroclinic channel,
+        # split-explicit barotropic/baroclinic integrator
+        from mpas_tpu.cores.ocean.core import OcnConfig
+        from mpas_tpu.cores.ocean.core import run_steps as ocn_run
+        from mpas_tpu.cores.ocean.init_channel import init_baroclinic_channel
+        from mpas_tpu.mesh.planar import channel_hex_mesh
+        t0 = time.perf_counter()
+        mesh0 = channel_hex_mesh(32, 200, 10000.0)
+        ogrid, ostate = init_baroclinic_channel(mesh0, nz=20)
+        setup_s = time.perf_counter() - t0
+        ocfg = OcnConfig(config_dt=300.0,
+                         config_time_integrator="split_explicit")
+        ogrid = cast(ogrid)
+        ostate = cast(ostate)
+        if ostate.ubtr is None:
+            ostate = ostate.replace(ubtr=jnp.zeros(ogrid.mesh.nEdges,
+                                                   dtype=dtype))
+        n_cols = ogrid.mesh.nCells
+        n_levels = ogrid.nz
+        dt = ocfg.config_dt
+
+        def run(n):
+            return ocn_run(ogrid, ocfg, ostate, n).layerThickness
+
+        def lower_run(n):
+            return ocn_run.lower(ogrid, ocfg, ostate, n)
     else:
         from mpas_tpu.cores.sw.config import SWConfig
         from mpas_tpu.cores.sw.test_cases import test_case_5
@@ -109,6 +176,30 @@ def main():
 
         def run(nn):
             return sw_run(mesh, cfg, state, h_s, nn).h
+
+        def lower_run(nn):
+            return sw_run.lower(mesh, cfg, state, h_s, nn)
+
+    # XLA cost-analysis roofline accounting: lowering the same jitted
+    # callable the timing uses populates the jit cache, so this costs no
+    # extra compile. 'bytes accessed' counts every HLO operand/result and
+    # is an UPPER BOUND on HBM traffic (fusion keeps intermediates in
+    # VMEM/registers); flops is exact. The workload is a gather/stencil
+    # streaming code: arithmetic intensity ~0.02 flop/byte, so the roof
+    # is HBM bandwidth, not the MXU.
+    roofline = {}
+    try:
+        compiled = lower_run(args.steps).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        roofline = {
+            "flops_per_step": float(ca.get("flops", 0.0)) / args.steps,
+            "hbm_bytes_upper_bound_per_step":
+                float(ca.get("bytes accessed", 0.0)) / args.steps,
+        }
+    except Exception as e:   # cost analysis unsupported on a backend
+        roofline = {"roofline_error": str(e)[:120]}
 
     def timed(n):
         # NOTE: on the axon TPU platform block_until_ready() does not block;
@@ -136,6 +227,14 @@ def main():
         "n_cells": n_cols,
         "n_levels": n_levels,
         "setup_s": setup_s,
+        **roofline,
+        **({"mfu_or_bw_util":
+            roofline["hbm_bytes_upper_bound_per_step"]
+            / (elapsed / args.steps) / 8.19e11,
+            "bw_util_note":
+            "upper-bound HBM-byte count / measured step time / 819 GB/s "
+            "(v5e peak); >1 means fusion kept that fraction in VMEM"}
+           if "hbm_bytes_upper_bound_per_step" in roofline else {}),
     }))
 
 

@@ -70,3 +70,45 @@ def partition_stats(mesh, part):
     return {"cut_edges": int(cut), "max_cells": int(counts.max()),
             "min_cells": int(counts.min()),
             "imbalance": float(counts.max() / counts.mean())}
+
+
+def hierarchical_sfc_partition(mesh, n_hosts: int, chips_per_host: int,
+                               weights=None):
+    """Two-level SFC partition for multi-host pods: cells -> hosts (level
+    1), then each host's cells -> its chips (level 2). Device ids are
+    host-major (device = host * chips_per_host + chip), matching
+    device_mesh ordering, so heavy nearest-neighbor halo traffic stays
+    within a host's ICI domain and only the coarse host boundaries cross
+    DCN (SURVEY.md §5.8 hierarchical aggregation; the reference's
+    analogue is the multi-block-per-rank proc map of
+    mpas_block_decomp.F:643 mpas_build_block_proc_list).
+
+    Returns int array (nCells,) of device ids in [0, n_hosts*chips_per_host).
+    """
+    host = sfc_partition(mesh, n_hosts, weights=weights)
+    part = np.empty(mesh.nCells, dtype=np.int64)
+    w = np.ones(mesh.nCells) if weights is None else np.asarray(weights)
+    pts = np.stack([np.asarray(mesh.xCell), np.asarray(mesh.yCell),
+                    np.asarray(mesh.zCell)], axis=-1)
+    key = _morton_key(pts)
+    for h in range(n_hosts):
+        sel = np.where(host == h)[0]
+        order = sel[np.argsort(key[sel], kind="stable")]
+        cw = np.cumsum(w[order])
+        chip = np.minimum((cw / cw[-1] * chips_per_host - 1e-12)
+                          .astype(np.int64), chips_per_host - 1)
+        part[order] = h * chips_per_host + chip
+    return part
+
+
+def inter_host_edge_cut(mesh, part, n_hosts: int, chips_per_host: int):
+    """Count mesh edges whose two cells live on different hosts — the
+    DCN-crossing halo traffic proxy (vs the total cut = all inter-device
+    edges). Returns (dcn_cut, total_cut)."""
+    coe = np.asarray(mesh.cellsOnEdge)
+    interior = np.asarray(mesh.boundaryEdge) == 0
+    p1, p2 = part[coe[:, 0]], part[coe[:, 1]]
+    cut = interior & (p1 != p2)
+    h1, h2 = p1 // chips_per_host, p2 // chips_per_host
+    dcn = cut & (h1 != h2)
+    return int(dcn.sum()), int(cut.sum())

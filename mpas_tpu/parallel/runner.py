@@ -153,3 +153,23 @@ def device_mesh(n_parts: int):
 def shard_leaves(tree):
     """Squeeze the leading block dim shard_map leaves carry."""
     return jax.tree.map(lambda a: a.reshape(a.shape[1:]), tree)
+
+
+def device_mesh_hierarchical(n_hosts: int, chips_per_host: int):
+    """Flat shard axis with host-major device ordering (device = host *
+    chips_per_host + chip). Pair with
+    partition.hierarchical_sfc_partition so neighbor-schedule ppermutes
+    between same-host shards ride ICI and only coarse host-boundary
+    messages cross DCN; XLA routes each collective-permute pair over the
+    fastest fabric connecting the two devices, so the win is entirely in
+    the placement (SURVEY.md §5.8)."""
+    n = n_hosts * chips_per_host
+    devs = jax.devices()
+    if len(devs) < n:
+        raise RuntimeError(f"need {n} devices, have {len(devs)}")
+    # prefer true host grouping when the platform exposes it
+    try:
+        devs = sorted(devs[:n], key=lambda d: (d.process_index, d.id))
+    except Exception:
+        devs = devs[:n]
+    return jax.make_mesh((n,), (AXIS,), devices=devs)
