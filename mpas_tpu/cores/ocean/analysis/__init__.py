@@ -28,10 +28,10 @@ from mpas_tpu.cores.ocean.analysis.moc import MocStreamfunction
 from mpas_tpu.cores.ocean.analysis.okubo_weiss import OkuboWeiss
 from mpas_tpu.cores.ocean.analysis.zonal_mean import ZonalMean
 from mpas_tpu.cores.ocean.analysis.extra_members import (
-    DebugDiagnostics, EddyProductVariables, HighFrequencyOutput,
-    PointwiseStats, RegionalStats, RpnCalculator,
-    SurfaceAreaWeightedAverages, TimeFilters, TransectTransport,
-    WaterMassCensus)
+    DebugDiagnostics, EddyProductVariables, EliassenPalm,
+    HighFrequencyOutput, PointwiseStats, RegionalStats, RpnCalculator,
+    SurfaceAreaWeightedAverages, TestComputeInterval, TimeFilters,
+    TransectTransport, WaterMassCensus)
 
 _REGISTRY = {
     "globalStats": GlobalStats,
@@ -51,6 +51,8 @@ _REGISTRY = {
     "timeFilters": TimeFilters,
     "regionalStats": RegionalStats,
     "rpnCalculator": RpnCalculator,
+    "eliassenPalm": EliassenPalm,
+    "testComputeInterval": TestComputeInterval,
 }
 
 

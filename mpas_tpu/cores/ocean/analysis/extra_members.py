@@ -292,3 +292,68 @@ class RpnCalculator:
                 f"rpn expression {self.expression!r} leaves "
                 f"{len(stack)} values on the stack")
         return {"rpnResult": np.asarray(stack[0])}
+
+
+class EliassenPalm:
+    """Eliassen-Palm flux diagnostics (ref: mpas_ocn_eliassen_palm.F —
+    the thickness-weighted-average (TWA) eddy flux tensor in buoyancy
+    coordinates). '-class' form on z-levels: zonal-band TWA velocity,
+    the eddy momentum flux u'v' and form-drag-like h'u' components of the
+    EP tensor, and their band-wise divergence. Bands follow ZonalMean."""
+    n_bins: int = 12
+
+    def init(self, grid, cfg):
+        m = grid.mesh
+        import numpy as _np
+        y = _np.asarray(m.latCell) if m.on_sphere else _np.asarray(m.yCell)
+        edges = _np.linspace(y.min() - 1e-9, y.max() + 1e-9,
+                             self.n_bins + 1)
+        which = _np.clip(_np.searchsorted(edges, y) - 1, 0, self.n_bins - 1)
+        onehot = _np.zeros((len(y), self.n_bins))
+        onehot[_np.arange(len(y)), which] = 1.0
+        self._onehot = jnp.asarray(onehot)
+        self._centers = 0.5 * (edges[:-1] + edges[1:])
+
+    def compute(self, grid, cfg, state):
+        h = state.layerThickness
+        area = grid.mesh.areaCell[:, None]
+        w = self._onehot * area
+        wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-30)[:, None]
+        ux, vy = _cell_velocity(grid, state)
+
+        def band(f):                     # area mean per band
+            return (w.T @ f) / wsum
+
+        def band_twa(f):                 # thickness-weighted average
+            return (w.T @ (f * h)) / jnp.maximum(w.T @ h, 1e-30)
+
+        u_hat = band_twa(ux)             # (nBins, nz)
+        v_hat = band_twa(vy)
+        h_bar = band(h)
+        # eddy components relative to the band TWA mean
+        which = jnp.argmax(self._onehot, axis=1)
+        up = ux - u_hat[which]
+        vp = vy - v_hat[which]
+        hp = h - h_bar[which]
+        epfy = band_twa(up * vp)         # meridional eddy momentum flux
+        form = band(hp * up)             # form-drag (h'u') component
+        dy = jnp.asarray(self._centers[1] - self._centers[0])
+        div = jnp.gradient(epfy, axis=0) / dy
+        return {"binCenters": np.asarray(self._centers),
+                "uTWA": np.asarray(u_hat), "vTWA": np.asarray(v_hat),
+                "epFluxMeridional": np.asarray(epfy),
+                "epFormDrag": np.asarray(form),
+                "epFluxDivergence": np.asarray(div)}
+
+
+class TestComputeInterval:
+    """Compute-interval self test (ref: mpas_ocn_test_compute_interval.F
+    — counts its own invocations so alarm-driven members can be
+    validated)."""
+
+    def init(self, grid, cfg):
+        self.count = 0
+
+    def compute(self, grid, cfg, state):
+        self.count += 1
+        return {"computeCount": self.count}

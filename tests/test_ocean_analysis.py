@@ -212,7 +212,8 @@ def test_new_members_compute(channel):
     names = ["eddyProductVariables", "waterMassCensus", "transectTransport",
              "highFrequencyOutput", "surfaceAreaWeightedAverages",
              "pointwiseStats", "debugDiagnostics", "timeFilters",
-             "regionalStats", "rpnCalculator"]
+             "regionalStats", "rpnCalculator", "eliassenPalm",
+             "testComputeInterval"]
     drv = AnalysisDriver(members={n: 3600.0 for n in names})
     drv.init(grid, cfg)
     drv.compute_all(grid, cfg, state)
@@ -273,3 +274,32 @@ def test_time_filters_low_pass(channel):
     # the filtered field moves toward the kick but lags it
     du = out["uLowPass"] - np.asarray(state.u)
     assert 0.0 < du.mean() < 1.0
+
+
+def test_eliassen_palm_twa_identity(channel):
+    """For a horizontally uniform thickness field the TWA velocity equals
+    the plain band mean, and the form-drag component vanishes (the
+    defining TWA identities, ref mpas_ocn_eliassen_palm.F)."""
+    from mpas_tpu.cores.ocean.analysis.extra_members import EliassenPalm
+    import jax.numpy as jnp
+    grid, state = channel
+    cfg = OcnConfig()
+    h0 = jnp.full_like(state.layerThickness, 50.0)
+    st = state.replace(layerThickness=h0)
+    m = EliassenPalm()
+    m.init(grid, cfg)
+    out = m.compute(grid, cfg, st)
+    assert np.abs(out["epFormDrag"]).max() < 1e-10
+    assert np.isfinite(out["epFluxMeridional"]).all()
+
+
+def test_compute_interval_member_counts(channel):
+    from mpas_tpu.cores.ocean.analysis.extra_members import \
+        TestComputeInterval
+    grid, state = channel
+    cfg = OcnConfig()
+    m = TestComputeInterval()
+    m.init(grid, cfg)
+    for k in range(3):
+        out = m.compute(grid, cfg, state)
+    assert out["computeCount"] == 3
