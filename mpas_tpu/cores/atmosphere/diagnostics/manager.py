@@ -33,7 +33,8 @@ class DiagnosticsManager:
 
     def init(self):
         for name in self.members:
-            if name not in ("isobaric", "convective", "pv"):
+            if name not in ("isobaric", "convective", "pv",
+                            "reflectivity"):
                 raise ValueError(f"unknown diagnostic '{name}'")
             self.history[name] = []
             self._next_due[name] = 0.0
@@ -45,6 +46,23 @@ class DiagnosticsManager:
         if name == "convective":
             return {k: np.asarray(v) for k, v in
                     compute_convective(grid, state, diag).items()}
+        if name == "reflectivity":
+            # ref: module_mp_radar.F refl10cm fed by the WSM6/Thompson
+            # hydrometeors (qr, qs, qg at scalar slots 2, 4, 5)
+            from mpas_tpu.cores.atmosphere.physics.radar import (
+                composite_reflectivity, refl_10cm)
+            ns = state.scalars.shape[-1]
+            rho = grid.zz * state.rho_zz
+            qr = jnp.maximum(state.scalars[..., 2], 0.0) if ns > 2 \
+                else jnp.zeros_like(rho)
+            qs = jnp.maximum(state.scalars[..., 4], 0.0) if ns > 4 else None
+            qg = jnp.maximum(state.scalars[..., 5], 0.0) if ns > 5 else None
+            qv = jnp.maximum(state.scalars[..., 0], 0.0)
+            t = state.theta_m / (1.0 + 1.608 * qv) * diag.exner
+            dbz = refl_10cm(rho, qr, qs=qs, qg=qg, t=t)
+            return {"refl_10cm": np.asarray(dbz),
+                    "refl_10cm_max": np.asarray(
+                        composite_reflectivity(dbz))}
         pv = ertel_pv(grid, mesh, state, diag)
         qv = jnp.maximum(state.scalars[..., 0], 0.0) \
             if state.scalars.shape[-1] > 0 else 0.0

@@ -124,3 +124,29 @@ class TestManager:
         assert snd["pressure_hpa"][0] > snd["pressure_hpa"][-1]
         assert np.all(np.diff(snd["height_m"]) > 0.0)
         assert -120.0 < snd["temperature_c"][0] < 60.0
+
+
+class TestReflectivityDiagnostic:
+    def test_reflectivity_member(self, jw):
+        """refl_10cm diagnostic through the manager: the dry JW state has
+        no hydrometeors, so the composite sits at the -30 dBZ floor; with
+        injected rain the echo appears where the rain is."""
+        import jax.numpy as jnp
+        gridj, cfg, carry = jw
+        st = carry.state
+        ns = st.scalars.shape[-1]
+        if ns < 3:
+            pad = jnp.zeros(st.scalars.shape[:-1] + (3 - ns,),
+                            st.scalars.dtype)
+            st = st.replace(scalars=jnp.concatenate(
+                [jnp.maximum(st.scalars, 0.0), pad], axis=-1))
+        mgr = DiagnosticsManager(members={"reflectivity": 600.0})
+        mgr.init()
+        mgr.compute_all(gridj, gridj.mesh, st, carry.diag)
+        _, out = mgr.history["reflectivity"][0]
+        assert out["refl_10cm_max"].max() <= -29.0     # dry: floor
+        sc = st.scalars.at[:, 2, 2].set(1.0e-3)        # rain at level 2
+        st2 = st.replace(scalars=sc)
+        mgr.compute_all(gridj, gridj.mesh, st2, carry.diag)
+        _, out2 = mgr.history["reflectivity"][1]
+        assert out2["refl_10cm_max"].max() > 30.0      # convective echo

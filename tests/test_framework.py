@@ -327,3 +327,37 @@ class TestPackageGatingAndStreamHardening:
         mgr.write("output", self._provider, {"nCells": 4}, force=True)
         data, _, _ = read_netcdf(fn)
         assert data["h"].shape[0] == 2      # two records
+
+
+class TestShardedIO:
+    """Per-host aggregated restart shards (ref: PIO iotasks/stride,
+    mpas_framework.F:89-104; IO-decomp transposes mpas_dmpar.F:2260+)."""
+
+    @pytest.mark.parametrize("group_size", [1, 4])
+    def test_roundtrip(self, tmp_path, group_size):
+        import jax
+        from mpas_tpu.io.sharded import read_sharded, write_sharded
+        from mpas_tpu.mesh.sphere import icosahedral_mesh
+        from mpas_tpu.parallel.layout import build_sharded_mesh
+        from mpas_tpu.parallel.partition import sfc_partition
+        from mpas_tpu.parallel.runner import scatter_field
+
+        mesh = icosahedral_mesh(8, lloyd_iters=1)
+        part = sfc_partition(mesh, 8)
+        sm = build_sharded_mesh(mesh, part, halo_depth=2)
+        rng = np.random.default_rng(3)
+        h = rng.standard_normal((mesh.nCells, 5))
+        u = rng.standard_normal((mesh.nEdges, 5))
+        fields = {"h": scatter_field(sm, h, "cell"),
+                  "u": scatter_field(sm, u, "edge")}
+        d = str(tmp_path / f"ckpt{group_size}")
+        write_sharded(d, sm, fields, {"h": "cell", "u": "edge"},
+                      {"cell": mesh.nCells, "edge": mesh.nEdges},
+                      group_size=group_size, attrs={"xtime": "t0"})
+        back, attrs = read_sharded(d)
+        np.testing.assert_array_equal(back["h"], h)
+        np.testing.assert_array_equal(back["u"], u)
+        assert attrs["xtime"] == "t0"
+        import os
+        n_files = len([f for f in os.listdir(d) if f.endswith(".npz")])
+        assert n_files == (8 if group_size == 1 else 2)
