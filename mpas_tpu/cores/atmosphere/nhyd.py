@@ -113,8 +113,13 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
         * mesh.invAreaCell[:, None]
 
     # Hollingsworth correction (ref :5607-5652): blend cell KE with
-    # vertex-remapped KE, ke_fact = 1 - 0.375
-    ke_vertex = 0.25 * jnp.sum(ke_edge[mesh.edgesOnVertex], axis=1) \
+    # vertex-remapped KE, ke_fact = 1 - 0.375. Mask padded edgesOnVertex
+    # slots (|edgeSignOnVertex| = 0 there): on meshes with merged
+    # (degree-4) vertices the vertexDegree pad would otherwise add
+    # ke_edge[slot 0] spuriously — and shard-dependently.
+    eov_mask = jnp.abs(mesh.edgeSignOnVertex)
+    ke_vertex = 0.25 * jnp.sum(eov_mask[..., None]
+                               * ke_edge[mesh.edgesOnVertex], axis=1) \
         * mesh.invAreaTriangle[:, None]
     ke_fact = 1.0 - 0.375
     ke = ke_fact * ke + (1.0 - ke_fact) \
