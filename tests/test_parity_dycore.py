@@ -101,3 +101,63 @@ if __name__ == "__main__":
                   {k: v.shape for k, v in out.items()})
     else:
         print(__doc__)
+
+
+@pytest.mark.slow
+def test_jw_baroclinic_wave_physical_benchmark():
+    """Published-physics anchor (the non-self-referential parity check the
+    frozen goldens cannot give): the Jablonowski & Williamson (2006, QJRMS)
+    baroclinic wave grows slowly for ~6 days and then deepens rapidly —
+    in their Fig. 6/7 the surface-pressure minimum stays flat
+    through day 4 and then deepens rapidly (~25-40 hPa between days 8
+    and 10 at high resolution; coarse grids deepen later). Asserted here
+    on the 480-km mesh via the relative deepening of the minimum MSLP:
+    quiet start, near-quiet day 8, and > 15 hPa breaking by day 10."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from mpas_tpu.cores.atmosphere.config import AtmConfig
+    from mpas_tpu.cores.atmosphere.diagnostics.isobaric import mslp
+    from mpas_tpu.cores.atmosphere.init_jw import init_jw
+    from mpas_tpu.cores.atmosphere.time_integration import (init_carry,
+                                                            run_steps)
+    from mpas_tpu.constants import cp, p0, rgas
+    from mpas_tpu.mesh.cache import cached
+    from mpas_tpu.mesh.sphere import icosahedral_mesh
+
+    mesh = cached("icos16_l4", lambda: icosahedral_mesh(16, lloyd_iters=4))
+    cfg = AtmConfig(config_nvertlevels=26, config_dt=1200.0,
+                    config_len_disp=480000.0)
+    grid, state, diag = init_jw(mesh, cfg, case=2)
+    gj = jax.tree.map(jnp.asarray, grid)
+    carry = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                       jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+
+    def min_ps(c):
+        p = p0 * np.asarray(c.diag.exner) ** (cp / rgas)
+        t = np.asarray(c.state.theta_m * c.diag.exner)
+        z_sfc = np.asarray(gj.zgrid)[:, 0]
+        ps = np.asarray(mslp(jnp.asarray(p[:, 0]), jnp.asarray(t[:, 0]),
+                             jnp.asarray(z_sfc)))
+        return float(ps.min()) / 100.0
+
+    steps_per_day = int(86400 / cfg.config_dt)
+    mins = {0: min_ps(carry)}
+    for day in (4, 8, 10):
+        prev = max(d for d in mins if d < day)
+        carry = run_steps(gj, cfg, carry, cfg.config_dt,
+                          (day - prev) * steps_per_day)
+        mins[day] = min_ps(carry)
+        assert np.isfinite(np.asarray(carry.state.u)).all(), day
+
+    # JW06 growth timing, resolution-aware (their Section 4c: coarse
+    # grids delay the breaking by ~1-2 days and weaken it): the flow is
+    # quiet through day 4 (pressure-minimum drift < 2 hPa), stays
+    # near-quiet at day 8 on this 480-km mesh, and the wave has broken by
+    # day 10 with the minimum deepened by > 15 hPa — the published rapid
+    # day-8-to-10 deepening phase (JW06 Fig. 7 shows ~25-40 hPa at high
+    # resolution).
+    assert abs(mins[4] - mins[0]) < 2.0, mins
+    assert mins[8] < mins[0] + 2.0, mins
+    assert mins[10] < mins[8] - 5.0, mins
+    assert mins[10] < mins[0] - 15.0, mins
