@@ -14,6 +14,11 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class AtmConfig:
     config_dt: float = 720.0
+    # debug/validation mode: driver sweeps the state for
+    # non-finite values after every chunk (ref: MPAS_DEBUG,
+    # SURVEY §5.2)
+    config_debug_checks: bool = False
+
     config_time_integration_order: int = 3
     config_split_dynamics_transport: bool = True
     config_number_of_sub_steps: int = 2

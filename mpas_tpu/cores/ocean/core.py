@@ -43,6 +43,11 @@ from mpas_tpu.ops.matrix import tridiagonal_solve
 class OcnConfig:
     """ref: src/core_ocean/Registry.xml namelist (subset)."""
     config_dt: float = 300.0
+    # debug/validation mode: driver sweeps the state for
+    # non-finite values after every chunk (ref: MPAS_DEBUG,
+    # SURVEY §5.2)
+    config_debug_checks: bool = False
+
     config_time_integrator: str = "split_explicit"   # or "RK4"
     # equation of state: "linear" | "jm" (ref: config_eos_type)
     config_eos_type: str = "linear"

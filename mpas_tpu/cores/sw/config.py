@@ -13,6 +13,11 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class SWConfig:
     config_test_case: int = 5
+    # debug/validation mode: driver sweeps the state for
+    # non-finite values after every chunk (ref: MPAS_DEBUG,
+    # SURVEY §5.2)
+    config_debug_checks: bool = False
+
     config_time_integration: str = "RK4"
     config_dt: float = 172.8
     config_stats_interval: int = 100

@@ -113,6 +113,40 @@ class Driver:
             self.log.write(f"wrote stream {name}: {os.path.basename(fname)}")
         return fname
 
+    def _debug_check_state(self, step):
+        """NaN/Inf sweep over the core state (ref: MPAS_DEBUG +
+        -ffpe-trap=invalid,zero,overflow debug builds; here a host-side
+        post-chunk validation since XLA has no trap mode). Core states are
+        opaque to the driver, so the sweep walks dataclass fields and
+        pytree leaves recursively."""
+        import dataclasses as _dc
+
+        import jax
+        import numpy as np
+
+        def walk(obj, name):
+            if obj is None:
+                return
+            if _dc.is_dataclass(obj) and not hasattr(obj, "tree_flatten"):
+                for f in _dc.fields(obj):
+                    walk(getattr(obj, f.name), f"{name}.{f.name}")
+                return
+            for path, leaf in jax.tree_util.tree_flatten_with_path(obj)[0]:
+                if leaf is None or not hasattr(leaf, "dtype"):
+                    continue
+                a = np.asarray(leaf)
+                if a.dtype.kind == "f" and not np.isfinite(a).all():
+                    n_bad = int((~np.isfinite(a)).sum())
+                    # CRIT -> abort (ref: mpas_log_write(...,
+                    # MPAS_LOG_CRIT) -> mpas_dmpar_global_abort)
+                    self.log.write(
+                        f"debug check failed at step {step}: {n_bad} "
+                        "non-finite values in state leaf "
+                        f"{name}{jax.tree_util.keystr(path)}",
+                        message_type="CRIT")
+
+        walk(self.state, "state")
+
     def run(self):
         """Alarm-driven run loop (ref: core_run patterns, e.g.
         atm_core_run mpas_atm_core.F:476)."""
@@ -136,6 +170,13 @@ class Driver:
                     chunk = min(chunk, max(1, steps_to))
             with self.timers.timer("time integration"):
                 self.state = self.hooks.step_chunk(self.state, chunk)
+            if getattr(self.cfg, "config_debug_checks", False):
+                # debug/validation mode (ref: the MPAS_DEBUG build flag +
+                # -ffpe-trap debug builds, SURVEY §5.2): scan the state
+                # pytree for non-finite values after every chunk and
+                # abort through the CRIT path with the offending leaf
+                with self.timers.timer("debug checks"):
+                    self._debug_check_state(done + chunk)
             self.clock.advance(chunk)
             done += chunk
             with self.timers.timer("stream output"):

@@ -66,3 +66,41 @@ def test_sw_cli_run_and_restart(tmp_path):
     db, _, _ = read_netcdf(str(fresh / out_b))
     assert np.array_equal(da["h"], db["h"])
     assert np.array_equal(da["u"], db["u"])
+
+
+class TestDebugChecks:
+    """ref: MPAS_DEBUG / -ffpe-trap debug builds (SURVEY §5.2) as a
+    host-side post-chunk NaN sweep with CRIT abort."""
+
+    def test_clean_run_passes(self, tmp_path):
+        from mpas_tpu.cores.sw.hooks import HOOKS
+        from mpas_tpu.cores.sw.config import SWConfig
+        from mpas_tpu.framework.driver import Driver
+        cfg = SWConfig(config_dt=600.0, config_test_case=5,
+                       config_run_duration="0:30:00",
+                       config_debug_checks=True)
+        d = Driver(HOOKS, cfg, run_dir=str(tmp_path), mesh_spec="icos:4")
+        d.init()
+        d.run()
+
+    def test_nan_state_aborts(self, tmp_path):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from mpas_tpu.cores.sw.hooks import HOOKS
+        from mpas_tpu.cores.sw.config import SWConfig
+        from mpas_tpu.framework.driver import Driver
+        from mpas_tpu.framework.log import MPASLogError
+        cfg = SWConfig(config_dt=600.0, config_test_case=5,
+                       config_run_duration="0:30:00",
+                       config_debug_checks=True)
+        def poison(st, n):
+            run = HOOKS.step_chunk(st, n)
+            bad = run.state.replace(h=run.state.h * jnp.nan)
+            return dataclasses.replace(run, state=bad)
+
+        bad_hooks = dataclasses.replace(HOOKS, step_chunk=poison)
+        d = Driver(bad_hooks, cfg, run_dir=str(tmp_path), mesh_spec="icos:4")
+        d.init()
+        with pytest.raises(MPASLogError, match="non-finite"):
+            d.run()
