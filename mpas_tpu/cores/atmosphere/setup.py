@@ -166,27 +166,30 @@ def build_cell_fit_matrices(mesh: Mesh):
     coc = np.asarray(mesh.cellsOnCell)
     nEoC = np.asarray(mesh.nEdgesOnCell)
     bmats = np.zeros((nC, 6, mE + 1))
-    for c in range(nC):
-        n = int(nEoC[c])
-        nbrs = coc[c, :n]
-        xs, ys = _tangent_coords(mesh, cxyz[c], cxyz[nbrs])
-        # nondimensionalize by the mean stencil distance: the raw Vandermonde
-        # mixes O(1) and O(dx^2) columns (condition ~1e20 in meters), which
-        # makes pinv blow up on irregular variable-resolution cells
-        L = np.sqrt(np.mean(xs * xs + ys * ys))
-        xs_, ys_ = xs / L, ys / L
-        A = np.zeros((n + 1, 6))
-        A[0, 0] = 1.0
-        A[1:, 0] = 1.0
-        A[1:, 1] = xs_
-        A[1:, 2] = ys_
-        A[1:, 3] = xs_ * xs_
-        A[1:, 4] = xs_ * ys_
-        A[1:, 5] = ys_ * ys_
-        B = np.linalg.pinv(A)
-        B[1:3, :] /= L          # fx, fy rows back to physical units
-        B[3:6, :] /= L * L      # fxx, fxy, fyy rows
-        bmats[c, :, :n + 1] = B
+    # vectorized over cells, grouped by stencil size (batched pinv);
+    # nondimensionalize by the mean stencil distance: the raw Vandermonde
+    # mixes O(1) and O(dx^2) columns (condition ~1e20 in meters), which
+    # makes pinv blow up on irregular variable-resolution cells
+    for n in np.unique(nEoC):
+        n = int(n)
+        sel = np.where(nEoC == n)[0]
+        nbrs = coc[sel, :n]                               # (G, n)
+        xs, ys = _tangent_coords(mesh, cxyz[sel][:, None, :], cxyz[nbrs])
+        L = np.sqrt(np.mean(xs * xs + ys * ys, axis=1))   # (G,)
+        xs_, ys_ = xs / L[:, None], ys / L[:, None]
+        G = sel.size
+        A = np.zeros((G, n + 1, 6))
+        A[:, 0, 0] = 1.0
+        A[:, 1:, 0] = 1.0
+        A[:, 1:, 1] = xs_
+        A[:, 1:, 2] = ys_
+        A[:, 1:, 3] = xs_ * xs_
+        A[:, 1:, 4] = xs_ * ys_
+        A[:, 1:, 5] = ys_ * ys_
+        B = np.linalg.pinv(A)                             # (G, 6, n+1)
+        B[:, 1:3, :] /= L[:, None, None]       # fx, fy back to physical
+        B[:, 3:6, :] /= (L * L)[:, None, None]
+        bmats[sel, :, :n + 1] = B
     return bmats
 
 
