@@ -214,3 +214,27 @@ def slucm_step(state: UrbanState, t_air, wind, swdown, lwdown, mu, dt,
             "q_ac": q_ac, "ah": ah,
             "h_roof": h_roof, "h_wall": h_wall, "h_road": h_road}
     return new, diag
+
+
+def bep_column_drag(u, v, z_mid, dt, building_height=20.0,
+                    frontal_density=0.3, cd_building=0.4,
+                    frc_urb=0.9):
+    """BEP-class multi-layer building drag (ref: module_sf_bep.F — the
+    building-effect parameterization distributes drag and TKE production
+    over the model levels inside the canopy instead of a single surface
+    stress). Implicit per-level drag
+        du/dt = -a(z) |V| u,  a(z) = 0.5 Cd lambda_f(z)
+    with the frontal-area density profile lambda_f constant below the
+    building height and zero above (the BEP default morphology).
+
+    Returns (u_new, v_new, tke_source) with tke_source = a |V|^3 per
+    level (the canopy wake-TKE production BEP feeds the PBL scheme)."""
+    import jax.numpy as jnp
+    inside = (z_mid < building_height).astype(u.dtype)
+    a = 0.5 * cd_building * frontal_density * frc_urb * inside
+    speed = jnp.sqrt(u * u + v * v)
+    fac = 1.0 / (1.0 + dt * a * speed)      # implicit update
+    u_new = u * fac
+    v_new = v * fac
+    tke_src = a * speed ** 3
+    return u_new, v_new, tke_src

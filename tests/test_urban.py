@@ -109,3 +109,34 @@ class TestBEM:
             st, diag = urban.slucm_step(st, *f, dt=300.0)
         assert np.isfinite(float(jnp.max(st.t_indoor)))
         assert float(jnp.max(diag["q_ac"])) < 5.0
+
+
+class TestBEP:
+    def test_canopy_drag_profile(self):
+        """Drag acts only below the building height, decelerates the wind
+        monotonically and produces wake TKE there (module_sf_bep.F
+        behavior)."""
+        n, nz = 3, 10
+        z = jnp.broadcast_to(jnp.linspace(5.0, 95.0, nz), (n, nz))
+        u = jnp.full((n, nz), 6.0)
+        v = jnp.full((n, nz), 2.0)
+        u2, v2, tke = urban.bep_column_drag(u, v, z, dt=60.0,
+                                            building_height=30.0)
+        below = np.asarray(z)[0] < 30.0
+        assert np.all(np.asarray(u2)[:, below] < 6.0)
+        assert np.all(np.asarray(u2)[:, ~below] == 6.0)
+        assert np.all(np.asarray(tke)[:, below] > 0.0)
+        assert np.all(np.asarray(tke)[:, ~below] == 0.0)
+        # implicit update never reverses the wind
+        assert np.all(np.asarray(u2) > 0.0)
+
+    def test_strong_drag_stability(self):
+        n, nz = 2, 5
+        z = jnp.broadcast_to(jnp.linspace(5.0, 45.0, nz), (n, nz))
+        u = jnp.full((n, nz), 30.0)
+        v = jnp.zeros((n, nz))
+        u2, _, _ = urban.bep_column_drag(u, v, z, dt=600.0,
+                                         frontal_density=1.0,
+                                         cd_building=1.0)
+        assert np.all(np.asarray(u2) >= 0.0)
+        assert np.all(np.isfinite(np.asarray(u2)))
