@@ -171,6 +171,7 @@ class TestFrozenSurfaces:
 
 
 class TestManagerDispatch:
+    @pytest.mark.slow
     def test_cam_scheme_and_frozen_masks_in_suite(self):
         """physics_step with config_radiation_scheme='cam' and xice/isice
         masks set: the CAM path and the per-point frozen-surface dispatch

@@ -7,7 +7,10 @@ case-9 LBC pipeline feeding mpas_atm_boundaries.F.
 import numpy as np
 import pytest
 
-from tests.test_init_real import _synthetic_gfs
+try:
+    from tests.test_init_real import _synthetic_gfs
+except ModuleNotFoundError:      # running with tests/ as the cwd
+    from test_init_real import _synthetic_gfs
 
 from mpas_tpu.cores.atmosphere.boundaries import build_bdy_masks
 from mpas_tpu.cores.atmosphere.config import AtmConfig

@@ -46,6 +46,7 @@ def test_hierarchical_placement_cuts_dcn_traffic(mesh):
     assert dcn_h < total_h                      # most traffic stays on ICI
 
 
+@pytest.mark.slow
 def test_sw_decomp_invariance_on_hierarchical_mesh(mesh):
     """The full distributed SW step over the host-major device mesh with
     the two-level partition reproduces the single-device trajectory."""

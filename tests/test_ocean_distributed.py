@@ -46,6 +46,7 @@ def _distributed_run(mesh, grid, state, cfg, n_parts, n_steps):
     }
 
 
+@pytest.mark.slow
 def test_single_shard_bitwise(channel):
     """The sharded machinery with 1 part must reproduce the single-device
     trajectory bitwise (the reference's MPI-off dmpar stub path,
@@ -64,7 +65,9 @@ def test_single_shard_bitwise(channel):
 # f64, verified: 1-shard is bitwise); the near-CFL barotropic subcycles
 # amplify that to ~5e-10 abs over 12 steps. The compass decomp_test genre
 # is likewise tolerance-based, not bitwise.
-@pytest.mark.parametrize("integrator", ["split_explicit", "RK4"])
+@pytest.mark.parametrize("integrator",
+                         [pytest.param("split_explicit",
+                                       marks=pytest.mark.slow), "RK4"])
 @pytest.mark.parametrize("n_parts", [4])
 def test_decomp_invariance(channel, integrator, n_parts):
     mesh, grid, state = channel

@@ -63,6 +63,7 @@ class TestEcosys:
         assert tr[0, 0, 2] < surf_no3_0                   # drawdown
         assert tr[:, :, 8].max() > 2e-3                   # PON export pool
 
+    @pytest.mark.slow
     def test_ecosys_with_dynamics_stable(self, column_setup):
         m, grid, state = column_setup
         cfg = OcnConfig(config_dt=60.0, config_time_integrator="RK4")
@@ -91,6 +92,7 @@ class TestIsomipPlus:
         target = np.asarray(grid.bottomDepth) - draft
         np.testing.assert_allclose(live, target, rtol=1e-8)
 
+    @pytest.mark.slow
     def test_steps_stably(self):
         m = box_hex_mesh(6, 12, 2000.0)
         grid, state, extras = init_isomip_plus(m, nz=20)
