@@ -22,10 +22,11 @@ from mpas_tpu.cores.seaice.velocity import solve_velocities
 
 
 def seaice_timestep(grid: SeaiceGrid, cfg: SeaiceConfig, state: SeaiceState,
-                    forcing: SeaiceForcing, dt):
+                    forcing: SeaiceForcing, dt, xch=None):
     diags = {}
     if cfg.config_use_velocity_solver:
-        state, diags = solve_velocities(grid, cfg, state, forcing, dt)
+        state, diags = solve_velocities(grid, cfg, state, forcing, dt,
+                                        xch=xch)
     if cfg.config_advection_type == "upwind":
         state = advect_upwind(grid, cfg, state, dt)
     elif cfg.config_advection_type == "incremental_remap":

@@ -1,0 +1,149 @@
+"""Distributed (multi-device) sea-ice stepping via shard_map.
+
+The EVP elastic subcycle is the sea-ice core's communication-stress path
+(ref: per-subcycle uVelocity/vVelocity exchanges inside
+seaice_run_velocity_solver, mpas_seaice_velocity_solver.F:2326-2485):
+here they become depth-2 vertex-field ppermutes fired from the exchange
+hook inside solve_velocities (velocity.py), mirroring the ocean
+barotropic 'subcycleFields' choreography. Transport + column physics
+consume the per-step full-depth cell-field refresh at step entry.
+
+Weak stress-divergence scheme only for now (the variational corner
+tensors carry cross-entity index stencils whose shard remap is a later
+milestone; the weak scheme is the reference default genre).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from mpas_tpu.cores.seaice.config import SeaiceConfig
+from mpas_tpu.cores.seaice.core import seaice_timestep
+from mpas_tpu.cores.seaice.state import (SeaiceForcing, SeaiceGrid,
+                                         SeaiceState)
+from mpas_tpu.parallel.layout import ShardedMesh, build_sharded_mesh
+from mpas_tpu.parallel.runner import (AXIS, ShardExchange, scatter_field,
+                                      shard_leaves)
+
+SEAICE_HALO_DEPTH = 3
+
+
+@struct.dataclass
+class ShardedSeaice:
+    grid: SeaiceGrid
+    smesh: ShardedMesh
+
+
+_CELL_STATE = ("iceAreaCategory", "iceVolumeCategory",
+               "snowVolumeCategory", "surfaceTemperature",
+               "stress11", "stress22", "stress12", "iceEnthalpy",
+               "snowEnthalpy", "pondArea", "pondDepth", "pondLid",
+               "levelIceArea", "levelIceVolume", "iceAge",
+               "firstYearArea", "brineHeight", "algaeIce", "nitrateIce",
+               "silicateIce", "snowGrainRadius", "snowDensity")
+_VERTEX_STATE = ("uVelocity", "vVelocity")
+_VERTEX_FORCING = ("sshGradientU", "sshGradientV")
+
+
+def shard_seaice_grid(grid: SeaiceGrid, part,
+                      halo_depth: int = SEAICE_HALO_DEPTH) -> ShardedSeaice:
+    if grid.variational is not None:
+        raise NotImplementedError(
+            "sharded sea-ice supports the weak stress-divergence scheme; "
+            "variational corner tensors are a later milestone")
+    smesh = build_sharded_mesh(grid.mesh, part, halo_depth=halo_depth)
+
+    def sc(x, kind):
+        return scatter_field(smesh, np.asarray(x), kind)
+
+    local = SeaiceGrid(
+        mesh=smesh.mesh,
+        normalPolygonE=sc(grid.normalPolygonE, "cell"),
+        normalPolygonN=sc(grid.normalPolygonN, "cell"),
+        normalTriangleE=sc(grid.normalTriangleE, "vertex"),
+        normalTriangleN=sc(grid.normalTriangleN, "vertex"),
+        tanLatCellOverR=sc(grid.tanLatCellOverR, "cell"),
+        tanLatVertexOverR=sc(grid.tanLatVertexOverR, "vertex"),
+        interiorVertex=sc(grid.interiorVertex, "vertex"),
+        variational=None)
+    return ShardedSeaice(grid=local, smesh=smesh)
+
+
+def _shard_tree(smesh, obj, kinds_cell, kinds_vertex):
+    kw = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if v is None:
+            kw[f.name] = None
+            continue
+        kind = "vertex" if f.name in kinds_vertex else "cell"
+        kw[f.name] = jnp.asarray(scatter_field(smesh, np.asarray(v), kind))
+    return type(obj)(**kw)
+
+
+def shard_seaice_state(ssi: ShardedSeaice, state: SeaiceState) -> SeaiceState:
+    return _shard_tree(ssi.smesh, state, _CELL_STATE, _VERTEX_STATE)
+
+
+def shard_seaice_forcing(ssi: ShardedSeaice,
+                         forcing: SeaiceForcing) -> SeaiceForcing:
+    return _shard_tree(ssi.smesh, forcing, (), _VERTEX_FORCING)
+
+
+def make_run_steps_seaice(ssi: ShardedSeaice, cfg: SeaiceConfig, dmesh):
+    """Jitted distributed runner: (grid_st, smesh_st, state_st,
+    forcing_st, n_steps) -> state_st."""
+    spec = P(AXIS)
+
+    def _run(grid_st, smesh_st, state_st, forcing_st, n_steps, dt):
+        grid_l = jax.tree.map(lambda a: a.reshape(a.shape[1:]), grid_st)
+        smesh_l = shard_leaves(smesh_st)
+        state_l = shard_leaves(state_st)
+        forcing_l = shard_leaves(forcing_st)
+        xch = ShardExchange(smesh_l.cell_nx, smesh_l.edge_nx,
+                            ssi.smesh.halo_depth,
+                            vertex_nx=smesh_l.vertex_nx)
+
+        def refresh(s: SeaiceState) -> SeaiceState:
+            kw = {}
+            for f in dataclasses.fields(s):
+                v = getattr(s, f.name)
+                if v is None:
+                    kw[f.name] = None
+                elif f.name in _VERTEX_STATE:
+                    kw[f.name] = xch.vertex(v)
+                else:
+                    kw[f.name] = xch.cell(v)
+            return SeaiceState(**kw)
+
+        def body(s, _):
+            s = refresh(s)
+            s, _d = seaice_timestep(grid_l, cfg, s, forcing_l, dt, xch=xch)
+            return s, None
+
+        final, _ = jax.lax.scan(body, state_l, None, length=n_steps)
+        return jax.tree.map(lambda a: a[None], final)
+
+    def run(grid_st, smesh_st, state_st, forcing_st, n_steps):
+        dt = jnp.asarray(cfg.config_dt,
+                         dtype=jnp.asarray(state_st.uVelocity).dtype)
+        fn = shard_map(
+            functools.partial(_run, n_steps=n_steps, dt=dt),
+            mesh=dmesh,
+            in_specs=(jax.tree.map(lambda _: spec, grid_st),
+                      jax.tree.map(lambda _: spec, smesh_st),
+                      jax.tree.map(lambda _: spec, state_st),
+                      jax.tree.map(lambda _: spec, forcing_st)),
+            out_specs=jax.tree.map(lambda _: spec, state_st),
+            check_vma=False)
+        return fn(grid_st, smesh_st, state_st, forcing_st)
+
+    return jax.jit(run, static_argnums=(4,))

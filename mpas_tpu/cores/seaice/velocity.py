@@ -105,9 +105,18 @@ def stress_divergence_weak(grid: SeaiceGrid, s11, s22, s12, solve_velocity):
     (mpas_seaice_velocity_solver_weak.F:521)."""
     m = grid.mesh
     coe = m.cellsOnEdge
-    s11e = 0.5 * (s11[coe[:, 0]] + s11[coe[:, 1]])
-    s22e = 0.5 * (s22[coe[:, 0]] + s22[coe[:, 1]])
-    s12e = 0.5 * (s12[coe[:, 0]] + s12[coe[:, 1]])
+    # one-sided at boundary edges: the pad slot of cellsOnEdge points at
+    # entity 0, whose stress must not leak into the line integral (it is
+    # a different global cell on every shard)
+    bnd = m.boundaryEdge
+
+    def edge_avg(f):
+        return jnp.where(bnd > 0, f[coe[:, 0]],
+                         0.5 * (f[coe[:, 0]] + f[coe[:, 1]]))
+
+    s11e = edge_avg(s11)
+    s22e = edge_avg(s22)
+    s12e = edge_avg(s12)
 
     eov = m.edgesOnVertex
     dc = m.dcEdge[eov] * (m.edgeSignOnVertex != 0)
@@ -145,10 +154,17 @@ def air_stress(cfg: SeaiceConfig, grid: SeaiceGrid, forcing: SeaiceForcing,
 
 def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
                      state: SeaiceState, forcing: SeaiceForcing,
-                     dt: float | jnp.ndarray):
+                     dt: float | jnp.ndarray, xch=None):
     """Full EVP solve for one dynamics step; returns updated velocities,
     stresses, and diagnostic divergence/shear.
-    ref: seaice_run_velocity_solver (mpas_seaice_velocity_solver.F:495)."""
+    ref: seaice_run_velocity_solver (mpas_seaice_velocity_solver.F:495).
+
+    xch: optional sharded-exchange hooks — the elastic subcycle refreshes
+    the vertex velocities at depth 2 every iteration (the reference
+    exchanges uVelocity/vVelocity each elastic subcycle,
+    mpas_seaice_velocity_solver.F:2326-2485), mirroring the ocean
+    barotropic 'subcycleFields' choreography."""
+    vx = (lambda x, depth=None: x) if xch is None else xch.vertex
     m = grid.mesh
     n_sub = cfg.config_elastic_subcycle_number
     dt_dyn = dt / cfg.config_dynamics_subcycle_number
@@ -192,6 +208,10 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
 
     def subcycle(carry, _):
         u, v, s11, s22, s12 = carry
+        # depth-2 restores the two rings (vertex->cell strains ->
+        # vertex divergence) each body consumes
+        u = vx(u, 2)
+        v = vx(v, 2)
 
         if use_var:
             # strains/stresses live at cell corners (ref:

@@ -89,6 +89,7 @@ class ShardedMesh:
     # depth -> neighbor-schedule exchange (keys: 1, 2, halo_depth)
     cell_nx: Any = None
     edge_nx: Any = None
+    vertex_nx: Any = None
 
 
 def _halo_layers(mesh, part, p, depth):
@@ -188,7 +189,8 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     # --- local entity sets per part ---------------------------------------
     cell_locs, edge_locs, vert_locs = [], [], []
-    cell_layer_maps, edge_layer_maps = [], []   # per part: gid -> halo layer
+    # per part: gid -> halo layer
+    cell_layer_maps, edge_layer_maps, vert_layer_maps = [], [], []
     owned_counts = {"cell": [], "edge": [], "vertex": []}
     for p in range(P):
         layers = _halo_layers(mesh, part, p, halo_depth)
@@ -224,6 +226,14 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
         owned_counts["edge"].append(len(own_e))
 
         vs = np.unique(voe[edge_locs[p]])
+        # vertex halo layer = min layer of its locally-present cells (the
+        # edge-layer rule applied to the vertex's cell fan)
+        vmap = {}
+        for g in vs:
+            ls = [lmap[int(c)] for c, m in zip(cov[g], covm[g])
+                  if m and int(c) in lmap]
+            vmap[int(g)] = min(ls) if ls else halo_depth
+        vert_layer_maps.append(vmap)
         own_v = vs[vertex_owner[vs] == p]
         halo_v = vs[vertex_owner[vs] != p]
         halo_v = halo_v[np.lexsort((halo_v, vertex_owner[halo_v]))]
@@ -303,6 +313,7 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     cell_slot_layer = slot_layers(cell_slots, cell_layer_maps)
     edge_slot_layer = slot_layers(edge_slots, edge_layer_maps)
+    vert_slot_layer = slot_layers(vert_slots, vert_layer_maps)
     depths = sorted({1, min(2, halo_depth), halo_depth})
     cell_nx = {d: _build_neighbor_xch(P, cell_slots, cell_g2l, part,
                                       cell_slot_layer, d, NCL)
@@ -310,6 +321,10 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
     edge_nx = {d: _build_neighbor_xch(P, edge_slots, edge_g2l, edge_owner,
                                       edge_slot_layer, d, NEL)
                for d in depths}
+    vertex_nx = {d: _build_neighbor_xch(P, vert_slots, vert_g2l,
+                                        vertex_owner, vert_slot_layer, d,
+                                        NVL)
+                 for d in depths}
 
     # --- local mesh arrays -------------------------------------------------
     dtype = np.asarray(mesh.areaCell).dtype
@@ -441,7 +456,7 @@ def build_sharded_mesh(mesh: Mesh, part, halo_depth: int = 3) -> ShardedMesh:
 
     return ShardedMesh(
         mesh=local_mesh, cell_xch=cell_xch, edge_xch=edge_xch,
-        cell_nx=cell_nx, edge_nx=edge_nx,
+        cell_nx=cell_nx, edge_nx=edge_nx, vertex_nx=vertex_nx,
         owned_cell_mask=owned_mask(cell_slots, owned_counts["cell"]),
         owned_edge_mask=owned_mask(edge_slots, owned_counts["edge"]),
         owned_vertex_mask=owned_mask(vert_slots, owned_counts["vertex"]),

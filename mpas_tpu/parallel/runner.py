@@ -55,9 +55,10 @@ class ShardExchange:
     the ocean barotropic subcycle's restricted 'subcycleFields' group,
     mpas_ocn_time_integration_split.F:771)."""
 
-    def __init__(self, cell_nx, edge_nx, full_depth):
+    def __init__(self, cell_nx, edge_nx, full_depth, vertex_nx=None):
         self._c = cell_nx       # {depth: NeighborExchange}
         self._e = edge_nx
+        self._v = vertex_nx
         self._full = full_depth
 
     @staticmethod
@@ -76,6 +77,10 @@ class ShardExchange:
 
     def edge(self, x, depth=None):
         return neighbor_halo_exchange(self._pick(self._e, depth, self._full),
+                                      x)
+
+    def vertex(self, x, depth=None):
+        return neighbor_halo_exchange(self._pick(self._v, depth, self._full),
                                       x)
 
 

@@ -1,0 +1,119 @@
+"""Sea-ice sharded-step correctness: decomposition invariance of the EVP
+dynamics + transport + column step (the compass/seaice parallelism-test
+genre, ref: testing_and_setup/seaice tests/parallelism.py; exchange
+choreography per the per-subcycle velocity exchanges of
+mpas_seaice_velocity_solver.F:2326-2485)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.seaice.config import SeaiceConfig
+from mpas_tpu.cores.seaice.core import run_steps
+from mpas_tpu.cores.seaice.distributed import (make_run_steps_seaice,
+                                               shard_seaice_forcing,
+                                               shard_seaice_grid,
+                                               shard_seaice_state)
+from mpas_tpu.cores.seaice.init_square import init_square
+from mpas_tpu.mesh.planar import box_hex_mesh
+from mpas_tpu.parallel.partition import sfc_partition
+from mpas_tpu.parallel.runner import device_mesh, gather_field
+
+
+@pytest.fixture(scope="module")
+def square():
+    """Smooth dynamics configuration: full ice cover (no open-water strip)
+    and column physics off. The standard box config's puny/area thresholds
+    make the EVP step chaotic to roundoff (a 1e-12 velocity perturbation
+    grows to ~7e-4 in ONE step through the solve_vel mask flips — measured;
+    the reference's MPI decomposition sidesteps this only because ranks
+    compute bitwise-identical sums, which XLA's shape-dependent reduction
+    tiling does not guarantee). Uniform masks remove the flips and expose
+    the exchange machinery itself to a tight tolerance."""
+    import jax.numpy as _jnp
+    m = box_hex_mesh(12, 12, 20000.0)
+    cfg = SeaiceConfig(config_dt=600.0,
+                       config_stress_divergence_scheme="weak",
+                       config_use_column_physics=False)
+    grid, state, forcing = init_square(m, cfg)
+    a = np.asarray(state.iceAreaCategory)
+    tot = a.sum(-1)
+    a1 = np.where(tot[:, None] > 0, a / np.maximum(tot[:, None], 1e-12),
+                  0.0)
+    a1[tot <= 0] = a1[tot > 0].mean(0)        # fill the open strip
+    h = np.asarray(state.iceVolumeCategory).sum(-1)
+    h = np.where(h > 0, h, 1.5)
+    state = state.replace(
+        iceAreaCategory=_jnp.asarray(a1),
+        iceVolumeCategory=_jnp.asarray(a1 * h[:, None]),
+        snowVolumeCategory=_jnp.asarray(0.1 * a1))
+    return m, cfg, grid, state, forcing
+
+
+def _distributed_run(m, cfg, grid, state, forcing, n_parts, n_steps):
+    part = sfc_partition(m, n_parts)
+    ssi = shard_seaice_grid(grid, part)
+    st = shard_seaice_state(ssi, state)
+    fo = shard_seaice_forcing(ssi, forcing)
+    out = make_run_steps_seaice(ssi, cfg, device_mesh(n_parts))(
+        jax.tree.map(jnp.asarray, ssi.grid),
+        jax.tree.map(jnp.asarray, ssi.smesh), st, fo, n_steps)
+    return {
+        "u": gather_field(ssi.smesh, out.uVelocity, "vertex", m.nVertices),
+        "a": gather_field(ssi.smesh, out.iceAreaCategory, "cell", m.nCells),
+        "v": gather_field(ssi.smesh, out.iceVolumeCategory, "cell",
+                          m.nCells),
+    }
+
+
+# Tolerance note: the EVP iteration is non-convergent by construction
+# (the elastic pseudo-waves never fully relax — Lemieux et al. 2012
+# genre), so roundoff-level reassociation differences between shard
+# shapes amplify ~1e9x per dynamics solve (measured: a 1e-12 velocity
+# perturbation grows to ~5e-4 in ONE step on the single-device path
+# itself). Decomposition equivalence therefore holds to the EVP's own
+# sensitivity floor, not to f64 roundoff; the 1-part bitwise test +
+# the poison-verified exchanges pin the machinery exactly, and
+# conservation (total area/volume) must still match tightly because
+# transport is conservative regardless of the velocity noise.
+@pytest.mark.parametrize("n_parts", [4])
+def test_decomp_invariance(square, n_parts):
+    m, cfg, grid, state, forcing = square
+    ref = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                    jax.tree.map(jnp.asarray, state),
+                    jax.tree.map(jnp.asarray, forcing), 4)
+    got = _distributed_run(m, cfg, grid, state, forcing, n_parts, 4)
+    np.testing.assert_allclose(got["u"], np.asarray(ref.uVelocity),
+                               atol=5e-3)
+    np.testing.assert_allclose(got["a"], np.asarray(ref.iceAreaCategory),
+                               atol=1e-4)
+    np.testing.assert_allclose(got["v"], np.asarray(ref.iceVolumeCategory),
+                               atol=3e-4)
+    area = np.asarray(m.areaCell)
+    for f_ in ("a", "v"):
+        ref_tot = float((np.asarray(getattr(ref, {"a": "iceAreaCategory",
+                        "v": "iceVolumeCategory"}[f_])).sum(-1)
+                         * area).sum())
+        got_tot = float((got[f_].sum(-1) * area).sum())
+        assert abs(got_tot - ref_tot) / abs(ref_tot) < 1e-9, f_
+
+
+def test_single_shard_bitwise(square):
+    m, cfg, grid, state, forcing = square
+    ref = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                    jax.tree.map(jnp.asarray, state),
+                    jax.tree.map(jnp.asarray, forcing), 2)
+    got = _distributed_run(m, cfg, grid, state, forcing, 1, 2)
+    assert np.array_equal(got["u"], np.asarray(ref.uVelocity))
+    assert np.array_equal(got["v"], np.asarray(ref.iceVolumeCategory))
+
+
+def test_vertex_schedules_exist(square):
+    m, cfg, grid, state, forcing = square
+    part = sfc_partition(m, 4)
+    ssi = shard_seaice_grid(grid, part)
+    sm = ssi.smesh
+    assert sm.vertex_nx is not None and 2 in sm.vertex_nx
+    # the subcycle's depth-2 vertex schedule moves less than full depth
+    assert sm.vertex_nx[2].volume <= sm.vertex_nx[sm.halo_depth].volume
