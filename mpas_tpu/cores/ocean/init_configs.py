@@ -555,3 +555,95 @@ def init_ecosys_column(mesh: Mesh, nz: int = 30, dtype=np.float64):
     tracers = np.stack([T, S, no3, sio3, fe, sp, diat, zoo, detn, detsi],
                        axis=-1)
     return grid, _state(mesh, nz, h0, tracers, dtype)
+
+
+def init_iso(mesh: Mesh, nz: int = 20, dtype=np.float64,
+             ridge: bool = True, plateau: bool = True, shelf: bool = True,
+             cont_slope: bool = True, embayment: bool = True,
+             depression: bool = True):
+    """ISO — Idealized Southern Ocean (ref: mpas_ocn_init_iso.F +
+    Registry_iso.xml): a circumpolar channel between south/north wall
+    latitudes whose bathymetry composes independently-togglable features
+    (meridional ridge, plateau, coastal shelf, continental slope,
+    embayment, depression — config_iso_{ridge,plateau,shelf,...}_flag),
+    with an exponential thermocline and a zonal wind-stress jet over the
+    channel core. The reference's default feature set maps 1:1 onto the
+    keyword flags. Returns (grid, state, forcing)."""
+    from mpas_tpu.constants import omega
+    from mpas_tpu.cores.ocean.forcing import zero_forcing
+    assert mesh.on_sphere
+    if mesh.sphere_radius < 1e6:
+        mesh = mesh.scaled(6.371e6)
+    R = mesh.sphere_radius
+    d2r = pii / 180.0
+    lat = np.asarray(mesh.latCell)
+    lon = np.asarray(mesh.lonCell)
+    lat_s, lat_n = -70.0 * d2r, -50.0 * d2r       # channel walls
+    main_depth = 4000.0
+
+    depth = np.full(mesh.nCells, main_depth)
+
+    def dlon_m(lon0_deg, at_lat):
+        d = (lon - lon0_deg * d2r + pii) % (2.0 * pii) - pii
+        return d * np.cos(at_lat) * R
+
+    if ridge:
+        # meridional ridge: Gaussian in longitude (center 180E, height
+        # 2000 m, width 2000 km; Registry_iso.xml:22-32)
+        x = dlon_m(180.0, lat)
+        depth -= 2000.0 * np.exp(-(x / 1.0e6) ** 2)
+    if plateau:
+        # radial plateau at (300E, 58S): height 2000 m, radius 200 km,
+        # tanh slope over 1000 km (Registry_iso.xml:38-56)
+        dx = dlon_m(300.0, -58.0 * d2r)
+        dy = (lat - (-58.0 * d2r)) * R
+        r = np.sqrt(dx ** 2 + dy ** 2)
+        depth -= 2000.0 * 0.5 * (1.0 - np.tanh((r - 2.0e5) / 5.0e5))
+    if embayment:
+        # deep embayment cut into the coast at (60E, 71S)
+        dx = dlon_m(60.0, -71.0 * d2r)
+        dy = (lat - (-71.0 * d2r)) * R
+        r = np.sqrt(dx ** 2 + dy ** 2)
+        emb = r < 5.0e5
+    else:
+        emb = np.zeros_like(lat, dtype=bool)
+    if shelf:
+        # coastal shelf along the south wall: 500 m depth over 120 km
+        ds = (lat - lat_s) * R
+        on_shelf = (ds < 1.2e5) & ~emb
+        depth = np.where(on_shelf, 500.0, depth)
+        if cont_slope:
+            # continental slope from the shelf break at max slope 0.01
+            slope_w = (main_depth - 500.0) / 0.01
+            ramp = np.clip((ds - 1.2e5) / slope_w, 0.0, 1.0)
+            depth = np.where(~on_shelf & ~emb,
+                             np.minimum(depth, 500.0 + ramp
+                                        * (main_depth - 500.0)), depth)
+    if embayment:
+        depth = np.where(emb, np.minimum(depth, 2000.0), depth)
+    if depression:
+        # longitudinal depression north of the embayment (60E band,
+        # 72S-65S, width 480 km, 800 m deeper; Registry_iso.xml:102-118)
+        dx = np.abs(dlon_m(60.0, -68.0 * d2r))
+        band = (dx < 2.4e5) & (lat > -72.0 * d2r) & (lat < -65.0 * d2r)
+        depth = np.where(band, depth + 800.0, depth)
+    depth = np.clip(depth, 500.0, main_depth + 800.0)
+    # walls outside the channel band
+    inside = (lat > lat_s) & (lat < lat_n)
+    depth = np.where(inside, depth, 2.0 * (main_depth / nz))
+
+    grid, h0 = _pbc_grid(mesh, nz, depth, main_depth + 800.0, dtype,
+                         coriolis=lambda yy, lat_: 2.0 * omega
+                         * np.sin(lat_))
+    z_mid = -np.cumsum(h0, -1) + 0.5 * h0
+    # exponential thermocline above cold deep water (ref profile genre)
+    T = 0.5 + 6.5 * np.exp(z_mid / 500.0)
+    S = 34.0 + 0.6 * (1.0 - np.exp(z_mid / 800.0))
+    state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
+    # zonal wind jet peaked at the channel core (ACC forcing genre)
+    lat_c = 0.5 * (lat_s + lat_n)
+    tau = 0.2 * np.cos(0.5 * pii * (lat - lat_c)
+                       / (0.5 * (lat_n - lat_s))) ** 2 * inside
+    f = zero_forcing(mesh.nCells, dtype=np.asarray(h0).dtype)
+    forcing = f.replace(windStressZonal=np.asarray(tau, dtype=dtype))
+    return grid, state, forcing

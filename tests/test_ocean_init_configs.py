@@ -208,3 +208,38 @@ class TestGlobalOceanIdealized:
         mlc = np.asarray(grid.maxLevelCell)
         assert mlc.max() == 10 and mlc.min() >= 2
         _run_conserves(grid, state, steps=20, dt=120.0, forcing=forcing)
+
+
+class TestIso:
+    """ISO idealized Southern Ocean (ref: mpas_ocn_init_iso.F)."""
+
+    def test_channel_features_and_stability(self):
+        from mpas_tpu.cores.ocean.init_configs import init_iso
+        m = icosahedral_mesh(12, lloyd_iters=2)
+        grid, state, forcing = init_iso(m, nz=8)
+        lat = np.asarray(grid.mesh.latCell)
+        mlc = np.asarray(grid.maxLevelCell)
+        inside = (lat > -70 * np.pi / 180) & (lat < -50 * np.pi / 180)
+        # walls shallow, channel deep, and the ridge/shelf give relief
+        if inside.any() and (~inside).any():
+            assert mlc[inside].max() > mlc[~inside].max()
+            assert mlc[inside].max() > mlc[inside].min()
+        # wind jet confined to the channel
+        tau = np.asarray(forcing.windStressZonal)
+        assert tau[~inside].max() == 0.0 and tau[inside].max() > 0.1
+        _run_conserves(grid, state, steps=20, dt=120.0, forcing=forcing)
+
+    def test_feature_flags_compose(self):
+        from mpas_tpu.cores.ocean.init_configs import init_iso
+        m = icosahedral_mesh(12, lloyd_iters=2)
+        g_flat, _, _ = init_iso(m, nz=8, ridge=False, plateau=False,
+                                shelf=False, cont_slope=False,
+                                embayment=False, depression=False)
+        g_full, _, _ = init_iso(m, nz=8)
+        # flat variant: uniform channel depth; full variant has relief
+        lat = np.asarray(m.latCell)
+        inside = (lat > -70 * np.pi / 180) & (lat < -50 * np.pi / 180)
+        if inside.sum() > 4:
+            flat_range = np.ptp(np.asarray(g_flat.bottomDepth)[inside])
+            full_range = np.ptp(np.asarray(g_full.bottomDepth)[inside])
+            assert full_range > flat_range
