@@ -8,9 +8,10 @@ hook inside solve_velocities (velocity.py), mirroring the ocean
 barotropic 'subcycleFields' choreography. Transport + column physics
 consume the per-step full-depth cell-field refresh at step entry.
 
-Weak stress-divergence scheme only for now (the variational corner
-tensors carry cross-entity index stencils whose shard remap is a later
-milestone; the weak scheme is the reference default genre).
+Both stress-divergence schemes shard: the weak scheme's geometry scatters
+as plain cell/vertex fields; the variational corner tensors are rebuilt
+per shard from the local mesh (see shard_seaice_grid), matching the
+reference's block-local variational init.
 """
 
 from __future__ import annotations
@@ -54,15 +55,44 @@ _VERTEX_FORCING = ("sshGradientU", "sshGradientV")
 
 
 def shard_seaice_grid(grid: SeaiceGrid, part,
-                      halo_depth: int = SEAICE_HALO_DEPTH) -> ShardedSeaice:
-    if grid.variational is not None:
-        raise NotImplementedError(
-            "sharded sea-ice supports the weak stress-divergence scheme; "
-            "variational corner tensors are a later milestone")
+                      halo_depth: int = SEAICE_HALO_DEPTH,
+                      variational_basis: str = "wachspress"
+                      ) -> ShardedSeaice:
     smesh = build_sharded_mesh(grid.mesh, part, halo_depth=halo_depth)
 
     def sc(x, kind):
         return scatter_field(smesh, np.asarray(x), kind)
+
+    var = None
+    if grid.variational is not None:
+        # The variational basis tensors are a pure per-cell function of
+        # local geometry (build_variational_coeffs loops cells over their
+        # own vertex polygons), so each shard rebuilds them from its own
+        # padded local mesh: values on owned+halo cells/vertices match the
+        # global build exactly; dead-slot polygons are degenerate and get
+        # NaN-sanitized (their contributions are masked by valid_on_v /
+        # zeroed edgeSign weights downstream). Mirrors the reference,
+        # which also builds the variational integrals per block after
+        # decomposition (seaice_init_velocity_solver_variational runs on
+        # the block-local mesh).
+        from mpas_tpu.cores.seaice.variational import (
+            build_variational_coeffs)
+        per_shard = []
+        for p in range(smesh.n_parts):
+            mesh_p = jax.tree.map(lambda a, p=p: np.asarray(a)[p],
+                                  smesh.mesh)
+            import warnings
+            with np.errstate(all="ignore"), warnings.catch_warnings():
+                # dead-slot polygons are degenerate by construction
+                warnings.simplefilter("ignore", RuntimeWarning)
+                vc = build_variational_coeffs(mesh_p,
+                                              basis=variational_basis)
+            vc = jax.tree.map(
+                lambda a: np.nan_to_num(np.asarray(a), nan=0.0,
+                                        posinf=0.0, neginf=0.0), vc)
+            per_shard.append(vc)
+        var = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
+                           *per_shard)
 
     local = SeaiceGrid(
         mesh=smesh.mesh,
@@ -73,7 +103,7 @@ def shard_seaice_grid(grid: SeaiceGrid, part,
         tanLatCellOverR=sc(grid.tanLatCellOverR, "cell"),
         tanLatVertexOverR=sc(grid.tanLatVertexOverR, "vertex"),
         interiorVertex=sc(grid.interiorVertex, "vertex"),
-        variational=None)
+        variational=var)
     return ShardedSeaice(grid=local, smesh=smesh)
 
 

@@ -117,3 +117,35 @@ def test_vertex_schedules_exist(square):
     assert sm.vertex_nx is not None and 2 in sm.vertex_nx
     # the subcycle's depth-2 vertex schedule moves less than full depth
     assert sm.vertex_nx[2].volume <= sm.vertex_nx[sm.halo_depth].volume
+
+
+@pytest.mark.slow
+def test_variational_decomp_invariance(square):
+    """Variational (Wachspress) stress-divergence scheme sharded via
+    per-shard rebuild of the basis tensors (block-local variational init,
+    ref: seaice_init_velocity_solver_variational run per block). Same
+    EVP sensitivity-floor tolerances as the weak-scheme test."""
+    import dataclasses as _dc
+    from mpas_tpu.cores.seaice.state import make_grid
+    m, _cfg, _grid, state, forcing = square
+    cfg = _dc.replace(_cfg, config_stress_divergence_scheme="variational")
+    grid = make_grid(m, variational=True)
+    ref = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                    jax.tree.map(jnp.asarray, state),
+                    jax.tree.map(jnp.asarray, forcing), 4)
+    part = sfc_partition(m, 4)
+    ssi = shard_seaice_grid(grid, part)
+    st = shard_seaice_state(ssi, state)
+    fo = shard_seaice_forcing(ssi, forcing)
+    out = make_run_steps_seaice(ssi, cfg, device_mesh(4))(
+        jax.tree.map(jnp.asarray, ssi.grid),
+        jax.tree.map(jnp.asarray, ssi.smesh), st, fo, 4)
+    u = gather_field(ssi.smesh, out.uVelocity, "vertex", m.nVertices)
+    a = gather_field(ssi.smesh, out.iceAreaCategory, "cell", m.nCells)
+    np.testing.assert_allclose(u, np.asarray(ref.uVelocity), atol=5e-3)
+    np.testing.assert_allclose(a, np.asarray(ref.iceAreaCategory),
+                               atol=1e-4)
+    area = np.asarray(m.areaCell)
+    ref_tot = float((np.asarray(ref.iceAreaCategory).sum(-1) * area).sum())
+    got_tot = float((a.sum(-1) * area).sum())
+    assert abs(got_tot - ref_tot) / abs(ref_tot) < 1e-9
