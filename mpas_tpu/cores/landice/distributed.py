@@ -57,9 +57,6 @@ def shard_li_grid(grid: LiGrid, cfg: LiConfig, part,
             "sharded land-ice supports the SIA velocity solver; the FO "
             "Stokes CG system is globally coupled (run it unsharded, as "
             "the reference delegates to an external Albany partition)")
-    if cfg.config_thickness_advection == "incremental_remapping":
-        raise NotImplementedError(
-            "sharded land-ice supports the fo/centered advection branches")
     smesh = build_sharded_mesh(grid.mesh, part, halo_depth=halo_depth)
     n_parts = smesh.n_parts
     bed = scatter_field(smesh, np.asarray(grid.bedTopography), "cell")

@@ -82,3 +82,23 @@ def test_volume_conservation_sharded(dome):
     v1 = float(np.sum(got["h"] * area))
     vc = float(np.sum(got["cf"] * area))
     assert abs((v1 + vc) - v0) / v0 < 1e-10
+
+
+@pytest.mark.slow
+def test_ir_advection_decomp_invariance(dome):
+    """Incremental-remapping advection branch sharded: the departure
+    triangles, upwind gradients, and vertex velocity recovery all close
+    within the depth-3 halo, so the same per-step refresh suffices
+    (ref: the shared seaice IR machinery called from
+    mpas_li_advection.F's incremental_remapping branch)."""
+    import dataclasses as _dc
+    mesh, _cfg, grid, state = dome
+    cfg = _dc.replace(_cfg,
+                      config_thickness_advection="incremental_remapping")
+    n_steps = 8
+    ref = run_steps(grid, cfg, state, n_steps)
+    got = _distributed_run(mesh, cfg, grid, state, 4, n_steps)
+    np.testing.assert_allclose(got["h"], np.asarray(ref.thickness),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(got["t"], np.asarray(ref.temperature),
+                               rtol=0, atol=1e-8)
