@@ -55,6 +55,45 @@ class PhysicsConfig:
     gwdo_var2d: float = 100.0
 
 
+# suite -> per-scheme defaults for fields left at the 'suite' sentinel
+# (ref: mpas_atmphys_control.F:120-160 — mesoscale_reference resolves to
+# wsm6/ntiedtke/ysu/ysu_gwdo/rrtmg/cld_fraction/monin_obukhov/noah;
+# convection_permitting to thompson/grell_freitas/mynn/.../sf_mynn/noah)
+_SUITES = {
+    "mesoscale_reference": dict(
+        config_microp_scheme="wsm6", config_conv_scheme="tiedtke",
+        config_pbl_scheme="ysu", config_gwdo_scheme="on",
+        config_radiation_scheme="kdist", config_cldfra_scheme="cldfra3",
+        config_sfclay_scheme="mm5", config_lsm_scheme="noah"),
+    "convection_permitting": dict(
+        config_microp_scheme="thompson",
+        config_conv_scheme="grell_freitas",
+        config_pbl_scheme="mynn", config_gwdo_scheme="on",
+        config_radiation_scheme="kdist", config_cldfra_scheme="cldfra3",
+        config_sfclay_scheme="mynn", config_lsm_scheme="noah"),
+    "none": dict(
+        config_microp_scheme="off", config_conv_scheme="off",
+        config_pbl_scheme="off", config_gwdo_scheme="off",
+        config_radiation_scheme="off", config_cldfra_scheme="off",
+        config_sfclay_scheme="off", config_lsm_scheme="off"),
+}
+
+
+def resolve_suite(cfg: PhysicsConfig) -> PhysicsConfig:
+    """Resolve 'suite'-sentinel scheme choices from config_physics_suite
+    (ref: mpas_atmphys_control.F physics_namelist_check — explicit
+    per-scheme settings win over the suite default; an unknown suite is
+    fatal)."""
+    suite = cfg.config_physics_suite
+    if suite not in _SUITES:
+        raise ValueError(
+            f"Unrecognized choice of physics suite: "
+            f"config_physics_suite = '{suite}'")
+    updates = {k: v for k, v in _SUITES[suite].items()
+               if getattr(cfg, k) == "suite"}
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
 @struct.dataclass
 class PhysicsState:
     """Per-cell surface/physics state carried between steps
@@ -117,6 +156,7 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
     Ordering ref: physics_driver (mpas_atmphys_driver.F:208-330)."""
     from mpas_tpu.ops.reconstruct import reconstruct
 
+    cfg = resolve_suite(cfg)
     m = mesh
     qv = jnp.maximum(state.scalars[..., 0], 0.0)
     qc = jnp.maximum(state.scalars[..., 1], 0.0) \
