@@ -70,23 +70,34 @@ def make_grid(mesh: Mesh, cfg: LiConfig, bed=None) -> LiGrid:
                   fo_geom=fo_geom)
 
 
-def fo_velocity(grid: LiGrid, cfg: LiConfig, thickness, temperature):
+def fo_velocity(grid: LiGrid, cfg: LiConfig, thickness, temperature,
+                xch=None, owned=None):
     """First-order Stokes edge-normal interface velocities.
 
     ref: mpas_li_velocity_external.F + Interface_velocity_solver.cpp
     velocity_solver_solve_fo (:341) — here the JAX-native Blatter-Pattyn
     solve of fo_stokes.py; cell (u, v) at layer midpoints are projected
-    onto edge normals and interpolated to layer interfaces."""
-    from mpas_tpu.cores.landice.fo_stokes import solve_fo_stokes
+    onto edge normals and interpolated to layer interfaces. xch/owned:
+    distributed-solve hooks (see _solve_fo_stokes_impl)."""
+    from mpas_tpu.cores.landice.fo_stokes import (_solve_fo_stokes_impl,
+                                                  solve_fo_stokes)
     m = grid.mesh
     nz = cfg.config_nvertlevels
     surface = grid.bedTopography + thickness
     flwa = flow_param_a(cfg, temperature)
     beta2 = cfg.config_fo_basal_friction
-    u, v, _ = solve_fo_stokes(grid.fo_geom, thickness, surface, flwa,
-                              beta2, cfg.rho_ice * cfg.gravity, nz=nz,
-                              picard_iters=cfg.config_fo_picard_iters,
-                              cg_iters=cfg.config_fo_cg_iters)
+    if xch is None:
+        u, v, _ = solve_fo_stokes(
+            grid.fo_geom, thickness, surface, flwa,
+            beta2, cfg.rho_ice * cfg.gravity, nz=nz,
+            picard_iters=cfg.config_fo_picard_iters,
+            cg_iters=cfg.config_fo_cg_iters)
+    else:
+        u, v, _ = _solve_fo_stokes_impl(
+            grid.fo_geom, thickness, surface, flwa,
+            beta2, cfg.rho_ice * cfg.gravity, nz=nz,
+            picard_iters=cfg.config_fo_picard_iters,
+            cg_iters=cfg.config_fo_cg_iters, xch=xch, owned=owned)
     dyn = (thickness > 1.0).astype(thickness.dtype)
     u = u * dyn[:, None]
     v = v * dyn[:, None]
@@ -248,11 +259,14 @@ def calve(grid: LiGrid, cfg: LiConfig, thickness, calving_flux):
     return new_h, calving_flux + (thickness - new_h)
 
 
-def fe_step(grid: LiGrid, cfg: LiConfig, state: LiState, dt) -> LiState:
+def fe_step(grid: LiGrid, cfg: LiConfig, state: LiState, dt,
+            xch=None, owned=None) -> LiState:
     """One forward-Euler step (ref: li_time_integrator_forwardeuler,
-    mpas_li_time_integration_fe.F)."""
+    mpas_li_time_integration_fe.F). xch/owned: distributed hooks for the
+    FO Stokes velocity solve (ignored by the SIA branch)."""
     if cfg.config_velocity_solver == "FO":
-        u_int = fo_velocity(grid, cfg, state.thickness, state.temperature)
+        u_int = fo_velocity(grid, cfg, state.thickness, state.temperature,
+                            xch=xch, owned=owned)
     else:
         u_int = sia_velocity(grid, cfg, state.thickness,
                              state.temperature)

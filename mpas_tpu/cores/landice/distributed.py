@@ -52,21 +52,29 @@ class ShardedLandice:
 
 def shard_li_grid(grid: LiGrid, cfg: LiConfig, part,
                   halo_depth: int = LANDICE_HALO_DEPTH) -> ShardedLandice:
-    if cfg.config_velocity_solver == "FO":
-        raise NotImplementedError(
-            "sharded land-ice supports the SIA velocity solver; the FO "
-            "Stokes CG system is globally coupled (run it unsharded, as "
-            "the reference delegates to an external Albany partition)")
     smesh = build_sharded_mesh(grid.mesh, part, halo_depth=halo_depth)
     n_parts = smesh.n_parts
     bed = scatter_field(smesh, np.asarray(grid.bedTopography), "cell")
     tile = lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
                                       (n_parts,) + np.asarray(a).shape)
+    fo_geom = None
+    if cfg.config_velocity_solver == "FO":
+        # Distributed Krylov structure: per-shard LSQ-gradient geometry
+        # rebuilt from the local mesh (owned+closed-stencil rows match
+        # the global build exactly), halo import before each operator
+        # apply, globally-psum'd inner products — the same decomposition
+        # the reference's external Albany solve uses over its own
+        # partition (Interface_velocity_solver.cpp extruded-grid blocks).
+        from mpas_tpu.cores.landice.fo_stokes import build_fo_geom
+        per_shard = [build_fo_geom(
+            jax.tree.map(lambda a, p=p: np.asarray(a)[p], smesh.mesh))
+            for p in range(n_parts)]
+        fo_geom = jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
     local = LiGrid(mesh=smesh.mesh,
                    bedTopography=jnp.asarray(bed),
                    layerInterfaceSigma=tile(grid.layerInterfaceSigma),
                    layerSigmaFraction=tile(grid.layerSigmaFraction),
-                   fo_geom=None)
+                   fo_geom=fo_geom)
     return ShardedLandice(grid=local, smesh=smesh)
 
 
@@ -103,7 +111,8 @@ def make_run_steps_li(sli: ShardedLandice, cfg: LiConfig, dmesh):
                              temperature=xch.cell(s.temperature))
 
         def body(s, _):
-            return fe_step(grid_l, cfg, refresh(s), dt), None
+            return fe_step(grid_l, cfg, refresh(s), dt, xch=xch,
+                           owned=smesh_l.owned_cell_mask), None
 
         if cfg.config_thermal_solver == "enthalpy" \
                 and state_l.waterFrac is None:

@@ -76,10 +76,14 @@ def build_fo_geom(mesh) -> FoGeom:
     # weights apply to (f_nbr - f_self): express as [self, nbr] weights
     gradx_w = np.concatenate([-wx.sum(-1, keepdims=True), wx], axis=-1)
     grady_w = np.concatenate([-wy.sum(-1, keepdims=True), wy], axis=-1)
+    # clamp: padded dead-slot cells of a sharded local mesh carry zero
+    # area; their weights are all zero, so clamping keeps their operator
+    # rows at exactly 0 instead of 0/0
+    area = np.maximum(np.asarray(mesh.areaCell), 1e-30)
     return FoGeom(gradx_w=jnp.asarray(gradx_w),
                   grady_w=jnp.asarray(grady_w),
                   nbr=jnp.asarray(nbr), nbr_mask=jnp.asarray(mask),
-                  area=jnp.asarray(np.asarray(mesh.areaCell)))
+                  area=jnp.asarray(area))
 
 
 def _hgrad(geom: FoGeom, f):
@@ -163,10 +167,25 @@ def fo_operator(geom: FoGeom, nu, dz, beta2, u, v):
     return lu, lv
 
 
-def _cg(matvec, b_u, b_v, x_u, x_v, iters):
-    """Conjugate gradients on the coupled (u, v) system."""
-    def dot(au, av, bu, bv):
-        return jnp.sum(au * bu) + jnp.sum(av * bv)
+def _cg(matvec, b_u, b_v, x_u, x_v, iters, owned=None):
+    """Conjugate gradients on the coupled (u, v) system.
+
+    owned: optional (nC,) 1/0 mask for the distributed solve — inner
+    products restrict to owned rows and psum across shards, which makes
+    the sharded iteration identical (to roundoff) to the global one: the
+    matvec refreshes its operand's halo, owned rows of A p match the
+    global rows, and the scalars alpha/beta are globally reduced."""
+    if owned is None:
+        def dot(au, av, bu, bv):
+            return jnp.sum(au * bu) + jnp.sum(av * bv)
+    else:
+        from mpas_tpu.parallel.runner import psum_owned
+
+        def dot(au, av, bu, bv):
+            # where() (not mask-multiply) so a non-finite value in an
+            # unowned row can never poison the reduction
+            prod = jnp.where(owned[:, None] > 0, au * bu + av * bv, 0.0)
+            return psum_owned(prod, jnp.ones_like(owned))
 
     lu, lv = matvec(x_u, x_v)
     ru, rv = b_u - lu, b_v - lv
@@ -206,6 +225,19 @@ def solve_fo_stokes(geom: FoGeom, thickness, surface, a_glen, beta2,
     ISMIP-HOM setups prescribe a mean slope on a periodic domain where a
     linear surface cannot be represented. Returns (u, v, resid) with
     u, v (nC, nz) at layer midpoints (k=0 surface .. nz-1 base)."""
+    return _solve_fo_stokes_impl(geom, thickness, surface, a_glen, beta2,
+                                 rho_g, nz, picard_iters, cg_iters, slope)
+
+
+def _solve_fo_stokes_impl(geom: FoGeom, thickness, surface, a_glen, beta2,
+                          rho_g, nz: int = 10, picard_iters: int = 12,
+                          cg_iters: int = 150, slope=None, xch=None,
+                          owned=None):
+    """Body of solve_fo_stokes; also the distributed entry (not jitted
+    itself so it can run inside a shard_map'd step). xch: ShardExchange —
+    each matvec/viscosity evaluation refreshes its operand's cell halo,
+    which is the distributed-Krylov structure of the reference's Albany
+    solve (halo import before each apply, plus globally-summed dots)."""
     h = jnp.maximum(thickness, 1.0)
     dz = jnp.broadcast_to((h / nz)[:, None], (h.shape[0], nz))
     sx, sy = _hgrad(geom, jnp.broadcast_to(surface[:, None],
@@ -222,9 +254,16 @@ def solve_fo_stokes(geom: FoGeom, thickness, surface, a_glen, beta2,
     u = jnp.zeros((h.shape[0], nz), h.dtype)
     v = jnp.zeros_like(u)
     resid = jnp.asarray(0.0, h.dtype)
+    refresh = (lambda f: xch.cell(f)) if xch is not None else (lambda f: f)
     for _ in range(picard_iters):          # static unroll
+        u, v = refresh(u), refresh(v)
         nu = effective_viscosity(geom, u, v, dz, a3)
-        matvec = lambda uu, vv, nu=nu: fo_operator(geom, nu, dz, beta2,
-                                                   uu, vv)
-        u, v, resid = _cg(matvec, bu, bv, u, v, cg_iters)
-    return u, v, resid
+
+        def matvec(uu, vv, nu=nu):
+            return fo_operator(geom, nu, dz, beta2, refresh(uu),
+                               refresh(vv))
+
+        u, v, resid = _cg(matvec, bu, bv, u, v, cg_iters, owned=owned)
+    # the CG updates leave halo rows stale; downstream consumers (edge
+    # projection in fo_velocity) read through the halo
+    return refresh(u), refresh(v), resid

@@ -102,3 +102,27 @@ def test_ir_advection_decomp_invariance(dome):
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(got["t"], np.asarray(ref.temperature),
                                rtol=0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_fo_stokes_decomp_invariance(dome):
+    """Distributed FO Stokes: per-shard LSQ geometry + halo import before
+    every operator apply + psum'd CG dots must reproduce the global
+    Krylov iteration (ref: the Albany partition of
+    Interface_velocity_solver.cpp, here in-framework). Tolerance covers
+    psum-vs-serial dot reassociation over the CG sweeps."""
+    import dataclasses as _dc
+    mesh, _cfg, _grid, state = dome
+    cfg = _dc.replace(_cfg, config_velocity_solver="FO",
+                      config_fo_picard_iters=3, config_fo_cg_iters=30,
+                      config_nvertlevels=4, config_dt=0.25
+                      * SECONDS_PER_YEAR)
+    from mpas_tpu.cores.landice.core import make_grid
+    from mpas_tpu.cores.landice.init_dome import init_halfar
+    grid, st0, _t0 = init_halfar(mesh, cfg, h0=_H0, r0=_R0)
+    n_steps = 3
+    ref = run_steps(grid, cfg, st0, n_steps)
+    got = _distributed_run(mesh, cfg, grid, st0, 4, n_steps)
+    scale = float(np.abs(np.asarray(ref.thickness)).max())
+    np.testing.assert_allclose(got["h"], np.asarray(ref.thickness),
+                               rtol=0, atol=1e-6 * scale)
