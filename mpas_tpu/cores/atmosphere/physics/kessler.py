@@ -62,12 +62,18 @@ def sediment_rain(qr, rho, dz, dt):
 
     def cond(carry):
         _, _, t_left = carry
-        return t_left > 1e-12
+        return jnp.any(t_left > 1e-12)
 
     def body(carry):
         qr_c, rain, t_left = carry
         vt = _terminal_velocity(qr_c, rho, vtden)
-        cr = jnp.max(vt * rdzk)
+        # per-COLUMN sedimentation CFL, exactly the reference's loop
+        # structure (each column substeps at its own dtfall, :135-196);
+        # column-local also makes the split decomposition-invariant and
+        # keeps a padded dead-slot column (rho = 0 on sharded local
+        # meshes) from poisoning its neighbours' substep count
+        crk = vt * rdzk
+        cr = jnp.max(jnp.where(jnp.isfinite(crk), crk, 0.0), axis=-1)
         dtfall = jnp.minimum(t_left, MAX_CR_SED / jnp.maximum(cr, 1e-12))
         # surface rain out of the bottom layer (:142-147); *1000 → mm, /1000
         # back to metres here so callers accumulate SI depth.
@@ -75,12 +81,12 @@ def sediment_rain(qr, rho, dz, dt):
         flux = rho * qr_c * vt                       # downward flux rho*qr*vt
         flux_above = jnp.concatenate(
             [flux[:, 1:], jnp.zeros_like(flux[:, :1])], axis=-1)
-        qr_new = qr_c - dtfall * rdzk / rho * (flux - flux_above)
+        qr_new = qr_c - dtfall[:, None] * rdzk / rho * (flux - flux_above)
         return qr_new, rain, t_left - dtfall
 
     qr_out, rain, _ = lax.while_loop(
         cond, body, (qr, jnp.zeros(qr.shape[0], qr.dtype),
-                     jnp.asarray(dt, qr.dtype)))
+                     jnp.full((qr.shape[0],), dt, qr.dtype)))
     return qr_out, rain
 
 

@@ -107,3 +107,55 @@ def test_atm_decomp_invariance_variable_res():
                       grid.mesh.nCells)
     np.testing.assert_allclose(th, np.asarray(ref.state.theta_m),
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_atm_moist_supercell_decomp_invariance():
+    """Moist sharded stepping: Kessler microphysics + monotonic scalar
+    transport inside the distributed split-RK3 step (the sharded
+    equivalent of BASELINE coverage config 'idealized supercell'; ref:
+    driver_microphysics inside atm_srk3 :1654 runs block-local in the
+    reference too — microphysics is column-local, so the only sharding
+    requirement is that the transported scalars ride the same halo
+    refreshes as the dry state)."""
+    from mpas_tpu.cores.atmosphere.init_supercell import init_supercell
+    from mpas_tpu.mesh.planar import planar_hex_mesh
+    m = planar_hex_mesh(12, 12, 2000.0)
+    cfg = AtmConfig(config_nvertlevels=20, config_len_disp=4000.0,
+                    config_dt=8.0, config_microp_scheme="mp_kessler",
+                    config_scalar_advection=True, config_monotonic=True)
+    grid, state, diag = init_supercell(m, cfg, case=5)
+    gj = jax.tree.map(jnp.asarray, grid)
+    carry0 = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
+                        jax.tree.map(jnp.asarray, diag), cfg.config_dt)
+    ref = run_steps(gj, cfg, carry0, cfg.config_dt, 3)
+
+    n_parts = 4
+    part = sfc_partition(grid.mesh, n_parts)
+    satm = shard_atm_grid(grid, part)
+    sm = satm.smesh
+    st, dg = shard_atm_state(satm, state, diag)
+    c = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "cell"))
+    e = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "edge"))
+    v = lambda x: jnp.asarray(scatter_field(sm, np.asarray(x), "vertex"))
+    carry_st = AtmCarry(
+        state=st, diag=dg, v=e(carry0.v), sdiag_ke=c(carry0.sdiag_ke),
+        sdiag_div=c(carry0.sdiag_div), sdiag_vort=v(carry0.sdiag_vort),
+        sdiag_pv_edge=e(carry0.sdiag_pv_edge),
+        sdiag_rho_edge=e(carry0.sdiag_rho_edge),
+        ur_cell=c(carry0.ur_cell), vr_cell=c(carry0.vr_cell),
+        rt_diabatic_tend=c(carry0.rt_diabatic_tend),
+        rainnc=c(carry0.rainnc))
+    out = make_run_steps_atm(satm, cfg, device_mesh(n_parts))(
+        jax.tree.map(jnp.asarray, satm.grid),
+        jax.tree.map(jnp.asarray, sm), carry_st, 3)
+
+    for name, kind, mine, refv in (
+            ("theta_m", "cell", out.state.theta_m, ref.state.theta_m),
+            ("scalars", "cell", out.state.scalars, ref.state.scalars),
+            ("rainnc", "cell", out.rainnc, ref.rainnc)):
+        gath = gather_field(sm, np.asarray(mine), kind, grid.mesh.nCells)
+        r = np.asarray(refv)
+        denom = max(np.abs(r).max(), 1e-30)
+        rel = np.abs(gath - r).max() / denom
+        assert rel < 1e-10, (name, rel)
