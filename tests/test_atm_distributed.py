@@ -110,7 +110,8 @@ def test_atm_decomp_invariance_variable_res():
 
 
 @pytest.mark.slow
-def test_atm_moist_supercell_decomp_invariance():
+@pytest.mark.parametrize("mp", ["mp_kessler", "mp_wsm6"])
+def test_atm_moist_supercell_decomp_invariance(mp):
     """Moist sharded stepping: Kessler microphysics + monotonic scalar
     transport inside the distributed split-RK3 step (the sharded
     equivalent of BASELINE coverage config 'idealized supercell'; ref:
@@ -122,9 +123,14 @@ def test_atm_moist_supercell_decomp_invariance():
     from mpas_tpu.mesh.planar import planar_hex_mesh
     m = planar_hex_mesh(12, 12, 2000.0)
     cfg = AtmConfig(config_nvertlevels=20, config_len_disp=4000.0,
-                    config_dt=8.0, config_microp_scheme="mp_kessler",
+                    config_dt=8.0, config_microp_scheme=mp,
                     config_scalar_advection=True, config_monotonic=True)
     grid, state, diag = init_supercell(m, cfg, case=5)
+    if mp == "mp_wsm6":
+        # widen scalars to the wsm6 hydrometeor set (qv..qg)
+        sc = np.zeros(state.scalars.shape[:-1] + (6,))
+        sc[..., :state.scalars.shape[-1]] = np.asarray(state.scalars)
+        state = state.replace(scalars=jnp.asarray(sc))
     gj = jax.tree.map(jnp.asarray, grid)
     carry0 = init_carry(gj, cfg, jax.tree.map(jnp.asarray, state),
                         jax.tree.map(jnp.asarray, diag), cfg.config_dt)
