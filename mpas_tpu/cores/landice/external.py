@@ -76,7 +76,18 @@ class ExternalVelocitySolver:
         lib.velocity_solver_extrude_3d_grid(
             ctypes.byref(ctypes.c_int(n_layers)),
             _d(ratios).ctypes.data_as(_dp))
+        area = _d(mesh.areaCell)
+        self._keep = self._keep + (area,)
+        lib.velocity_solver_set_cell_areas(area.ctypes.data_as(_dp))
         lib.velocity_solver_init_fo()
+
+    def set_fo_options(self, beta2: float, picard_iters: int = 10,
+                       cg_iters: int = 120):
+        """Basal friction + iteration counts for the native FO solve."""
+        self._lib.velocity_solver_set_fo_options(
+            ctypes.byref(ctypes.c_double(beta2)),
+            ctypes.byref(ctypes.c_int(picard_iters)),
+            ctypes.byref(ctypes.c_int(cg_iters)))
 
     def compute_2d_grid(self, vertices_mask) -> int:
         """Triangulate the dynamic-ice region; returns nTriangles."""
@@ -97,6 +108,19 @@ class ExternalVelocitySolver:
         th = _d(thickness)
         bd = _d(bed)
         self._lib.velocity_solver_solve_fo(
+            th.ctypes.data_as(_dp), bd.ctypes.data_as(_dp))
+        out = np.zeros(self.mesh.nEdges * (self.n_layers + 1))
+        self._lib.velocity_solver_export_fo_velocity(
+            out.ctypes.data_as(_dp))
+        return out.reshape(self.mesh.nEdges, self.n_layers + 1)
+
+    def solve_fo_stokes(self, thickness, bed):
+        """Full native FO (Blatter-Pattyn) solve: Picard + CG in C++,
+        same discretization as fo_stokes.py. Returns uNormal
+        (nEdges, nLayers+1)."""
+        th = _d(thickness)
+        bd = _d(bed)
+        self._lib.velocity_solver_solve_fo_stokes(
             th.ctypes.data_as(_dp), bd.ctypes.data_as(_dp))
         out = np.zeros(self.mesh.nEdges * (self.n_layers + 1))
         self._lib.velocity_solver_export_fo_velocity(

@@ -13,6 +13,7 @@
 // same ABI. No MPI: domain decomposition is owned by the JAX layer, and
 // the interface receives one shard's (owned+halo) mesh.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -166,5 +167,321 @@ void velocity_solver_get_triangles(int* tri_out, int* tri_vertex_out) {
 }
 
 void velocity_solver_finalize() { g = GridData(); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full first-order (Blatter-Pattyn) Stokes solve, native.
+//
+// The same discretization as the JAX solver (mpas_tpu/cores/landice/
+// fo_stokes.py, which see for the math; ref capability:
+// Interface_velocity_solver.cpp velocity_solver_solve_fo :341 delegating
+// to Albany/FELIX): per-cell least-squares horizontal gradients over the
+// edge-neighbor set, adjoint-consistent membrane-stress divergence,
+// vertical viscosity with basal friction, Picard on the Glen viscosity,
+// matrix-free conjugate gradients on the coupled (u, v) system. Planar
+// coordinates (no periodic wrap — callers pass a halo'd local shard or a
+// bounded domain).
+// ---------------------------------------------------------------------------
+
+namespace fo {
+
+constexpr double EPS_REG = 1e-22;  // strain-rate regularization (1/s)^2
+
+struct Workspace {
+  // neighbor adjacency from cellsOnEdge + LSQ gradient weights
+  std::vector<std::vector<int>> nbr;         // per cell
+  std::vector<std::vector<double>> wx, wy;   // per-neighbor weights
+  std::vector<double> w0x, w0y;              // self weights
+  std::vector<double> area;
+  double beta2 = 1.0e12;
+  int picard = 10, cg = 120;
+  bool built = false;
+};
+
+Workspace w;
+
+void build_adjacency(const double* areaCell) {
+  const int nC = g.nCells;
+  w.nbr.assign(nC, {});
+  for (int e = 0; e < g.nEdges; ++e) {
+    const int c1 = g.cellsOnEdge[e * 2 + 0];
+    const int c2 = g.cellsOnEdge[e * 2 + 1];
+    if (c1 < 0 || c2 < 0 || c1 == c2) continue;
+    w.nbr[c1].push_back(c2);
+    w.nbr[c2].push_back(c1);
+  }
+  w.wx.assign(nC, {});
+  w.wy.assign(nC, {});
+  w.w0x.assign(nC, 0.0);
+  w.w0y.assign(nC, 0.0);
+  for (int c = 0; c < nC; ++c) {
+    double a11 = 0.0, a12 = 0.0, a22 = 0.0;
+    const size_t m = w.nbr[c].size();
+    std::vector<double> dx(m), dy(m);
+    for (size_t j = 0; j < m; ++j) {
+      dx[j] = g.xCell[w.nbr[c][j]] - g.xCell[c];
+      dy[j] = g.yCell[w.nbr[c][j]] - g.yCell[c];
+      a11 += dx[j] * dx[j];
+      a12 += dx[j] * dy[j];
+      a22 += dy[j] * dy[j];
+    }
+    const double det = std::max(a11 * a22 - a12 * a12, 1e-30);
+    w.wx[c].resize(m);
+    w.wy[c].resize(m);
+    double sx = 0.0, sy = 0.0;
+    for (size_t j = 0; j < m; ++j) {
+      w.wx[c][j] = (a22 * dx[j] - a12 * dy[j]) / det;
+      w.wy[c][j] = (a11 * dy[j] - a12 * dx[j]) / det;
+      sx += w.wx[c][j];
+      sy += w.wy[c][j];
+    }
+    w.w0x[c] = -sx;
+    w.w0y[c] = -sy;
+  }
+  w.area.assign(areaCell, areaCell + nC);
+  for (auto& a : w.area) a = std::max(a, 1e-30);
+  w.built = true;
+}
+
+using Field = std::vector<double>;   // (nC * nL), layer-inner
+
+inline void hgrad(const Field& f, Field& fx, Field& fy, int nL) {
+  const int nC = g.nCells;
+  for (int c = 0; c < nC; ++c) {
+    for (int k = 0; k < nL; ++k) {
+      double gx = w.w0x[c] * f[c * nL + k];
+      double gy = w.w0y[c] * f[c * nL + k];
+      for (size_t j = 0; j < w.nbr[c].size(); ++j) {
+        gx += w.wx[c][j] * f[w.nbr[c][j] * nL + k];
+        gy += w.wy[c][j] * f[w.nbr[c][j] * nL + k];
+      }
+      fx[c * nL + k] = gx;
+      fy[c * nL + k] = gy;
+    }
+  }
+}
+
+// exact area-weighted adjoint of hgrad (keeps the operator symmetric)
+inline void hdiv(const Field& fx, const Field& fy, Field& out, int nL) {
+  const int nC = g.nCells;
+  std::fill(out.begin(), out.end(), 0.0);
+  for (int c = 0; c < nC; ++c) {
+    const double a = w.area[c];
+    for (int k = 0; k < nL; ++k) {
+      out[c * nL + k] += (w.w0x[c] * fx[c * nL + k]
+                          + w.w0y[c] * fy[c * nL + k]) * a;
+      for (size_t j = 0; j < w.nbr[c].size(); ++j)
+        out[w.nbr[c][j] * nL + k] += (w.wx[c][j] * fx[c * nL + k]
+                                      + w.wy[c][j] * fy[c * nL + k]) * a;
+    }
+  }
+  for (int c = 0; c < nC; ++c)
+    for (int k = 0; k < nL; ++k) out[c * nL + k] /= w.area[c];
+}
+
+inline void vert_apply(const Field& f, const Field& nu, const Field& dz,
+                       Field& out, int nL) {
+  const int nC = g.nCells;
+  for (int c = 0; c < nC; ++c) {
+    const double* fc = &f[c * nL];
+    const double* nuc = &nu[c * nL];
+    const double* dzc = &dz[c * nL];
+    // interface fluxes (stress); 0 at top and bottom, basal drag added
+    for (int k = 0; k < nL; ++k) {
+      double fl_lo = 0.0, fl_hi = 0.0;
+      if (k > 0) {
+        const double nui = 0.5 * (nuc[k] + nuc[k - 1]);
+        const double dzi = 0.5 * (dzc[k] + dzc[k - 1]);
+        fl_lo = nui * (fc[k] - fc[k - 1]) / dzi;
+      }
+      if (k < nL - 1) {
+        const double nui = 0.5 * (nuc[k + 1] + nuc[k]);
+        const double dzi = 0.5 * (dzc[k + 1] + dzc[k]);
+        fl_hi = nui * (fc[k + 1] - fc[k]) / dzi;
+      }
+      double val = -(fl_hi - fl_lo) / dzc[k];
+      if (k == nL - 1) val += w.beta2 * fc[k] / dzc[k];
+      out[c * nL + k] = val;
+    }
+  }
+}
+
+inline void dz_center(const Field& f, const Field& dz, Field& out, int nL) {
+  const int nC = g.nCells;
+  for (int c = 0; c < nC; ++c) {
+    const double* fc = &f[c * nL];
+    const double* dzc = &dz[c * nL];
+    for (int k = 0; k < nL; ++k) {
+      double v;
+      if (k == 0)
+        v = (fc[1] - fc[0]) / (0.5 * (dzc[0] + dzc[1]));
+      else if (k == nL - 1)
+        v = (fc[nL - 1] - fc[nL - 2])
+            / (0.5 * (dzc[nL - 1] + dzc[nL - 2]));
+      else
+        v = (fc[k + 1] - fc[k - 1]) * 2.0
+            / (dzc[k + 1] + 2.0 * dzc[k] + dzc[k - 1]);
+      out[c * nL + k] = v;
+    }
+  }
+}
+
+struct Op {
+  // frozen viscosity operator state
+  Field nu, dz;
+  int nL;
+  Field fxu, fyu, fxv, fyv, sux, suy, svx, svy, tmp;
+
+  void apply(const Field& u, const Field& v, Field& lu, Field& lv) {
+    hgrad(u, fxu, fyu, nL);
+    hgrad(v, fxv, fyv, nL);
+    const size_t n = u.size();
+    for (size_t i = 0; i < n; ++i) {
+      sux[i] = nu[i] * (4.0 * fxu[i] + 2.0 * fyv[i]);
+      suy[i] = nu[i] * (fyu[i] + fxv[i]);
+      svx[i] = nu[i] * (fyu[i] + fxv[i]);
+      svy[i] = nu[i] * (4.0 * fyv[i] + 2.0 * fxu[i]);
+    }
+    hdiv(sux, suy, lu, nL);
+    vert_apply(u, nu, dz, tmp, nL);
+    for (size_t i = 0; i < n; ++i) lu[i] += tmp[i];
+    hdiv(svx, svy, lv, nL);
+    vert_apply(v, nu, dz, tmp, nL);
+    for (size_t i = 0; i < n; ++i) lv[i] += tmp[i];
+  }
+};
+
+inline double dot2(const Field& au, const Field& av, const Field& bu,
+                   const Field& bv) {
+  double s = 0.0;
+  for (size_t i = 0; i < au.size(); ++i) s += au[i] * bu[i] + av[i] * bv[i];
+  return s;
+}
+
+}  // namespace fo
+
+extern "C" {
+
+void velocity_solver_set_fo_options(const double* beta2,
+                                    const int* picard_iters,
+                                    const int* cg_iters) {
+  fo::w.beta2 = *beta2;
+  fo::w.picard = *picard_iters;
+  fo::w.cg = *cg_iters;
+}
+
+void velocity_solver_set_cell_areas(const double* areaCell) {
+  fo::build_adjacency(areaCell);
+}
+
+// Full FO Stokes solve (Picard + CG), result exported through the usual
+// velocity_solver_export_fo_velocity as edge-normal interface velocities.
+void velocity_solver_solve_fo_stokes(const double* thickness,
+                                     const double* bedTopography) {
+  const int nC = g.nCells, nL = g.nLayers;
+  const double n = g.glen_n;
+  const double rho_g = g.rho_ice * g.gravity;
+
+  fo::Field h(nC), dz(static_cast<size_t>(nC) * nL);
+  fo::Field surf1(nC);   // single-layer field for the surface gradient
+  for (int c = 0; c < nC; ++c) {
+    h[c] = std::max(thickness[c], 1.0);
+    surf1[c] = bedTopography[c] + thickness[c];
+    for (int k = 0; k < nL; ++k) dz[c * nL + k] = h[c] / nL;
+  }
+  fo::Field sx(nC), sy(nC);
+  fo::hgrad(surf1, sx, sy, 1);
+
+  const size_t N = static_cast<size_t>(nC) * nL;
+  fo::Field bu(N), bv(N), u(N, 0.0), v(N, 0.0);
+  for (int c = 0; c < nC; ++c)
+    for (int k = 0; k < nL; ++k) {
+      bu[c * nL + k] = -rho_g * sx[c];
+      bv[c * nL + k] = -rho_g * sy[c];
+    }
+
+  fo::Op op;
+  op.nL = nL;
+  op.dz = dz;
+  op.nu.assign(N, 0.0);
+  for (auto* f : {&op.fxu, &op.fyu, &op.fxv, &op.fyv, &op.sux, &op.suy,
+                  &op.svx, &op.svy, &op.tmp})
+    f->assign(N, 0.0);
+
+  fo::Field uz(N), vz(N), lu(N), lv(N), ru(N), rv(N), pu(N), pv(N),
+      apu(N), apv(N);
+
+  for (int it = 0; it < fo::w.picard; ++it) {
+    // Glen viscosity at the current iterate
+    fo::hgrad(u, op.fxu, op.fyu, nL);
+    fo::hgrad(v, op.fxv, op.fyv, nL);
+    fo::dz_center(u, dz, uz, nL);
+    fo::dz_center(v, dz, vz, nL);
+    for (size_t i = 0; i < N; ++i) {
+      const double ux = op.fxu[i], uy = op.fyu[i];
+      const double vx = op.fxv[i], vy = op.fyv[i];
+      double e2 = ux * ux + vy * vy + ux * vy
+          + 0.25 * (uy + vx) * (uy + vx)
+          + 0.25 * uz[i] * uz[i] + 0.25 * vz[i] * vz[i] + fo::EPS_REG;
+      op.nu[i] = 0.5 * std::pow(g.flow_A, -1.0 / n)
+          * std::pow(e2, (1.0 - n) / (2.0 * n));
+    }
+    // CG on the frozen-viscosity system
+    op.apply(u, v, lu, lv);
+    for (size_t i = 0; i < N; ++i) {
+      ru[i] = bu[i] - lu[i];
+      rv[i] = bv[i] - lv[i];
+      pu[i] = ru[i];
+      pv[i] = rv[i];
+    }
+    double rs = fo::dot2(ru, rv, ru, rv);
+    for (int cgit = 0; cgit < fo::w.cg; ++cgit) {
+      op.apply(pu, pv, apu, apv);
+      const double denom = fo::dot2(pu, pv, apu, apv);
+      const double alpha = rs / std::max(denom, 1e-300);
+      for (size_t i = 0; i < N; ++i) {
+        u[i] += alpha * pu[i];
+        v[i] += alpha * pv[i];
+        ru[i] -= alpha * apu[i];
+        rv[i] -= alpha * apv[i];
+      }
+      const double rs_new = fo::dot2(ru, rv, ru, rv);
+      const double beta = rs_new / std::max(rs, 1e-300);
+      for (size_t i = 0; i < N; ++i) {
+        pu[i] = ru[i] + beta * pu[i];
+        pv[i] = rv[i] + beta * pv[i];
+      }
+      rs = rs_new;
+    }
+  }
+
+  // project to edge-normal interface velocities (the export contract of
+  // velocity_solver_solve_fo): dynamic-ice mask, cell-pair average onto
+  // the c1->c2 normal, midpoints -> interfaces
+  g.uNormal.assign(static_cast<size_t>(g.nEdges) * (nL + 1), 0.0);
+  for (int e = 0; e < g.nEdges; ++e) {
+    const int c1 = g.cellsOnEdge[e * 2 + 0];
+    const int c2 = g.cellsOnEdge[e * 2 + 1];
+    if (c1 < 0 || c2 < 0 || c1 == c2) continue;
+    const double d1 = thickness[c1] > 1.0 ? 1.0 : 0.0;
+    const double d2 = thickness[c2] > 1.0 ? 1.0 : 0.0;
+    const double dxe = g.xCell[c2] - g.xCell[c1];
+    const double dye = g.yCell[c2] - g.yCell[c1];
+    const double dc = std::max(std::hypot(dxe, dye), 1e-30);
+    const double nx = dxe / dc, ny = dye / dc;
+    std::vector<double> un_mid(nL);
+    for (int k = 0; k < nL; ++k) {
+      const double uu = 0.5 * (u[c1 * nL + k] * d1 + u[c2 * nL + k] * d2);
+      const double vv = 0.5 * (v[c1 * nL + k] * d1 + v[c2 * nL + k] * d2);
+      un_mid[k] = uu * nx + vv * ny;
+    }
+    double* out = &g.uNormal[static_cast<size_t>(e) * (nL + 1)];
+    out[0] = un_mid[0];
+    for (int k = 1; k < nL; ++k)
+      out[k] = 0.5 * (un_mid[k - 1] + un_mid[k]);
+    out[nL] = un_mid[nL - 1];
+  }
+}
 
 }  // extern "C"
