@@ -104,12 +104,14 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
     rho_edge = 0.5 * (rho_zz[c1] + rho_zz[c2])
     ke_edge = (mesh.dcEdge * mesh.dvEdge)[:, None] * u * u
 
-    vorticity = jnp.sum(mesh.curlW[..., None] * u[mesh.edgesOnVertex], axis=1) \
+    # u and ke_edge ride one packed row gather per stencil family
+    u_eov, ke_eov = _rows_gather(mesh.edgesOnVertex, [u, ke_edge])
+    u_eoc, ke_eoc = _rows_gather(mesh.edgesOnCell, [u, ke_edge])
+    vorticity = jnp.sum(mesh.curlW[..., None] * u_eov, axis=1) \
         * mesh.invAreaTriangle[:, None]
-    divergence = jnp.sum(mesh.divW[..., None] * u[mesh.edgesOnCell], axis=1) \
+    divergence = jnp.sum(mesh.divW[..., None] * u_eoc, axis=1) \
         * mesh.invAreaCell[:, None]
-    ke = 0.25 * jnp.sum(mesh.edgesOnCellMask[..., None]
-                        * ke_edge[mesh.edgesOnCell], axis=1) \
+    ke = 0.25 * jnp.sum(mesh.edgesOnCellMask[..., None] * ke_eoc, axis=1) \
         * mesh.invAreaCell[:, None]
 
     # Hollingsworth correction (ref :5607-5652): blend cell KE with
@@ -118,13 +120,17 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
     # (degree-4) vertices the vertexDegree pad would otherwise add
     # ke_edge[slot 0] spuriously — and shard-dependently.
     eov_mask = jnp.abs(mesh.edgeSignOnVertex)
-    ke_vertex = 0.25 * jnp.sum(eov_mask[..., None]
-                               * ke_edge[mesh.edgesOnVertex], axis=1) \
+    ke_vertex = 0.25 * jnp.sum(eov_mask[..., None] * ke_eov, axis=1) \
         * mesh.invAreaTriangle[:, None]
     ke_fact = 1.0 - 0.375
+    pv_vertex = mesh.fVertex[:, None] + vorticity       # no 1/rho (ref :5707)
+    if cfg.config_apvm_upwinding > 0.0:
+        ke_voc, pv_voc = _rows_gather(mesh.verticesOnCell,
+                                      [ke_vertex, pv_vertex])
+    else:
+        (ke_voc,) = _rows_gather(mesh.verticesOnCell, [ke_vertex])
     ke = ke_fact * ke + (1.0 - ke_fact) \
-        * jnp.sum(grid.mesh.kiteAreasOnCell[..., None]
-                  * ke_vertex[mesh.verticesOnCell], axis=1) \
+        * jnp.sum(grid.mesh.kiteAreasOnCell[..., None] * ke_voc, axis=1) \
         * mesh.invAreaCell[:, None]
 
     if reconstruct_v or v_prev is None:
@@ -133,13 +139,12 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
     else:
         v = v_prev
 
-    pv_vertex = mesh.fVertex[:, None] + vorticity       # no 1/rho (ref :5707)
-    pv_edge = 0.5 * (pv_vertex[v1] + pv_vertex[v2])
+    (pv1, pv2), = _pair_gather(v1, v2, [pv_vertex])
+    pv_edge = 0.5 * (pv1 + pv2)
     if cfg.config_apvm_upwinding > 0.0:
-        pv_cell = jnp.sum(mesh.kiteAreasOnCell[..., None]
-                          * pv_vertex[mesh.verticesOnCell], axis=1) \
+        pv_cell = jnp.sum(mesh.kiteAreasOnCell[..., None] * pv_voc, axis=1) \
             * mesh.invAreaCell[:, None]
-        gradPVt = (pv_vertex[v2] - pv_vertex[v1]) * mesh.invDvEdge[:, None]
+        gradPVt = (pv2 - pv1) * mesh.invDvEdge[:, None]
         gradPVn = (pv_cell[c2] - pv_cell[c1]) * mesh.invDcEdge[:, None]
         r = cfg.config_apvm_upwinding * dt
         pv_edge = pv_edge - r * (v * gradPVt + u * gradPVn)
@@ -271,9 +276,45 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
             if cfg.config_horiz_mixing == "2d_smagorinsky" \
             else cfg.config_h_theta_eddy_visc4
 
+    # --- packed cell-pair gathers (round 1) ---------------------------------
+    # every cell field this rk step reads at cellsOnEdge rides ONE packed
+    # gather per edge side (see _pair_gather): the per-row gather cost that
+    # dominated the substep amortizes across all of them
+    on_curv = mesh.on_sphere and CURVATURE
+    w_mid = 0.5 * (w[:, :-1] + w[:, 1:]) if on_curv else None
+    pf = [rw, diag.ke, h_divergence]
+    if on_curv:
+        pf.append(w_mid)
+    if rk_step == 1:
+        zpad_kd = jnp.zeros_like(kdiff[:, :1])
+        kd4 = jnp.concatenate(
+            [zpad_kd, kdiff[:, 1:] + kdiff[:, :-1], zpad_kd],
+            axis=-1)                                    # (nC, nz+1) sum pair
+        pf += [grid.zz, pressure_p, dpdz, diag.divergence, kdiff, w, kd4,
+               theta_m]
+    elif DBG["thpickup"]:
+        pf.append(theta_m_save)
+    pairs = iter(_pair_gather(c1, c2, pf))
+    rw1, rw2 = next(pairs)
+    ke1, ke2 = next(pairs)
+    hd1, hd2 = next(pairs)
+    if on_curv:
+        wm1, wm2 = next(pairs)
+    if rk_step == 1:
+        zz1, zz2 = next(pairs)
+        pp1, pp2 = next(pairs)
+        dp1, dp2 = next(pairs)
+        dvg1, dvg2 = next(pairs)
+        kdf1, kdf2 = next(pairs)
+        wg1, wg2 = next(pairs)
+        kd41, kd42 = next(pairs)
+        thg1, thg2 = next(pairs)
+    elif DBG["thpickup"]:
+        ths1, ths2 = next(pairs)
+
     # --- u tendency (ref :4770-4830) ----------------------------------------
     # vertical transport of u: wduz with rw averaged to edges
-    rw_edge = 0.5 * (rw[c1] + rw[c2])                   # (nE, nz+1)
+    rw_edge = 0.5 * (rw1 + rw2)                         # (nE, nz+1)
     wduz = flux3_vertical(u, rw_edge, fzm, fzp, 1.0)
     tend_u = -rdzw * (wduz[:, 1:] - wduz[:, :-1])
 
@@ -288,20 +329,19 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
         tend_u = tend_u * 0.0
     if not DBG["q"]:
         q = q * 0.0
-    dke = (diag.ke[c2] - diag.ke[c1]) * mesh.invDcEdge[:, None]
+    dke = (ke2 - ke1) * mesh.invDcEdge[:, None]
     if not DBG["ke"]:
         dke = dke * 0.0
-    hdivu = u * 0.5 * (h_divergence[c1] + h_divergence[c2])
+    hdivu = u * 0.5 * (hd1 + hd2)
     if not DBG["hdivu"]:
         hdivu = hdivu * 0.0
     tend_u = tend_u + diag.rho_edge * (q - dke) - hdivu
 
-    if mesh.on_sphere and CURVATURE:  # CURVATURE terms (ref :4815-4823)
+    if on_curv:  # CURVATURE terms (ref :4815-4823)
         # level-average FIRST, then row-gather: a gather fused with a lane
         # slice (w[c1, :-1]) lowers to a pathological TPU gather (~100x
         # slower than a row gather — measured 1.16 s vs 8 ms at 40k cells)
-        w_mid = 0.5 * (w[:, :-1] + w[:, 1:])
-        w4 = 0.5 * (w_mid[c1] + w_mid[c2])
+        w4 = 0.5 * (wm1 + wm2)
         tend_u = tend_u - 2.0 * omega \
             * jnp.cos(mesh.angleEdge)[:, None] \
             * jnp.cos(mesh.latEdge)[:, None] * diag.rho_edge * w4 \
@@ -313,29 +353,79 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
             cqu_ = 1.0
         else:
             cqu_ = cqu
-        zz_edge = 0.5 * (grid.zz[c1] + grid.zz[c2])
+        zz_edge = 0.5 * (zz1 + zz2)
         tend_u_euler = -cqu_ * (
-            (pressure_p[c2] - pressure_p[c1]) * mesh.invDcEdge[:, None]
-            / zz_edge - 0.5 * grid.zxu * (dpdz[c1] + dpdz[c2]))
+            (pp2 - pp1) * mesh.invDcEdge[:, None]
+            / zz_edge - 0.5 * grid.zxu * (dp1 + dp2))
 
         r_dc = mesh.invDcEdge[:, None]
         r_dv = jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
-        delsq_u = (diag.divergence[c2] - diag.divergence[c1]) * r_dc \
+        delsq_u = (dvg2 - dvg1) * r_dc \
             - (diag.vorticity[v2] - diag.vorticity[v1]) * r_dv
-        kdiffu = 0.5 * (kdiff[c1] + kdiff[c2])
+        kdiffu = 0.5 * (kdf1 + kdf2)
         tend_u_euler = tend_u_euler + diag.rho_edge * kdiffu * delsq_u \
             * mesh.meshScalingDel2[:, None]
 
-        if h_mom_visc4 > 0.0:  # del4 (ref :4884-4947)
+        # --- consolidated mixing stencils: the u/w/theta del2+del4 terms
+        # (ref :4884-4947, :5094-5160, :5272-5310) share three packed
+        # row-gather rounds — edge fields at edgesOnCell (round A), delsq
+        # fields at cellsOnEdge (round B), del4 differences back at
+        # edgesOnCell (round C) — instead of one gather per field per term
+        rho_edge_int = jnp.concatenate(
+            [jnp.zeros_like(diag.rho_edge[:, :1]),
+             diag.rho_edge[:, 1:] + diag.rho_edge[:, :-1],
+             jnp.zeros_like(diag.rho_edge[:, :1])], axis=-1)  # (nE, nz+1)
+        dw = wg2 - wg1
+        wflux = 0.5 * (mesh.dvEdge * mesh.invDcEdge)[:, None] \
+            * rho_edge_int * dw                         # edge_sign in sum
+        kdiff_int_e = 0.25 * (kd41 + kd42)
+        wflux_mix = wflux * mesh.meshScalingDel2[:, None] * kdiff_int_e
+        dth = (thg2 - thg1) \
+            * (mesh.dvEdge * mesh.invDcEdge)[:, None] * diag.rho_edge
+        pr_scale = mesh.meshScalingDel2[:, None] / 1.0  # prandtl = 1
+        mixth = dth * kdiffu * pr_scale
+        gdu, gwf, gmx, gth, gmth = _rows_gather(
+            mesh.edgesOnCell, [delsq_u, wflux, wflux_mix, dth, mixth])
+        sgn_eoc = mesh.edgeSignOnCell[..., None]
+        inva = mesh.invAreaCell[:, None]
+        delsq_w = jnp.sum(sgn_eoc * gwf, axis=1) * inva
+        tend_w_euler_mix = jnp.sum(sgn_eoc * gmx, axis=1) * inva
+        delsq_theta = jnp.sum(sgn_eoc * gth, axis=1) * inva
+        tend_theta_euler_mix = jnp.sum(sgn_eoc * gmth, axis=1) * inva
+        pb = []
+        if h_mom_visc4 > 0.0:
+            delsq_div = jnp.sum(mesh.divW[..., None] * gdu, axis=1) * inva
             delsq_vort = jnp.sum(mesh.curlW[..., None]
                                  * delsq_u[mesh.edgesOnVertex], axis=1) \
                 * mesh.invAreaTriangle[:, None]
-            delsq_div = jnp.sum(mesh.divW[..., None]
-                                * delsq_u[mesh.edgesOnCell], axis=1) \
-                * mesh.invAreaCell[:, None]
+            pb += [delsq_w, delsq_div]
+        if h_theta_visc4 > 0.0:
+            pb += [delsq_theta]
+        if pb:
+            it_b = iter(_pair_gather(c1, c2, pb))
+            if h_mom_visc4 > 0.0:
+                dsw1, dsw2 = next(it_b)
+                dd1, dd2 = next(it_b)
+            if h_theta_visc4 > 0.0:
+                dst1, dst2 = next(it_b)
+        pc = []
+        if h_mom_visc4 > 0.0:
+            dsw = (dsw2 - dsw1) * (mesh.dvEdge * mesh.invDcEdge)[:, None]
+            pc.append(dsw)
+        if h_theta_visc4 > 0.0:
+            dst = (dst2 - dst1) * (mesh.dvEdge * mesh.invDcEdge)[:, None]
+            pc.append(dst)
+        if pc:
+            it_c = iter(_rows_gather(mesh.edgesOnCell, pc))
+            gd4 = next(it_c) if h_mom_visc4 > 0.0 else None
+            gds = next(it_c) if h_theta_visc4 > 0.0 else None
+        if h_mom_visc4 > 0.0 or h_theta_visc4 > 0.0:
+            ms4_eoc = mesh.meshScalingDel4[mesh.edgesOnCell]
+
+        if h_mom_visc4 > 0.0:  # u del4 (ref :4884-4947)
             ms4 = mesh.meshScalingDel4[:, None] * h_mom_visc4
             u_diff4 = diag.rho_edge * (
-                (delsq_div[c2] - delsq_div[c1]) * r_dc
+                (dd2 - dd1) * r_dc
                 * cfg.config_del4u_div_factor
                 - (delsq_vort[v2] - delsq_vort[v1]) * r_dv) * ms4
             tend_u_euler = tend_u_euler - u_diff4
@@ -410,33 +500,13 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     else:
         curv_w = None
 
-    # w mixing (rk 1; ref :5094-5160)
+    # w mixing (rk 1; ref :5094-5160) — stencils precomputed in the
+    # consolidated packed-gather block above
     if rk_step == 1:
-        rho_edge_int = jnp.concatenate(
-            [jnp.zeros_like(diag.rho_edge[:, :1]),
-             diag.rho_edge[:, 1:] + diag.rho_edge[:, :-1],
-             jnp.zeros_like(diag.rho_edge[:, :1])], axis=-1)  # (nE, nz+1)
-        dw = w[c2] - w[c1]
-        wflux = 0.5 * (mesh.dvEdge * mesh.invDcEdge)[:, None] \
-            * rho_edge_int * dw                         # edge_sign applied in sum
-        gwf = wflux[mesh.edgesOnCell]
-        delsq_w = jnp.sum(mesh.edgeSignOnCell[..., None] * gwf, axis=1) \
-            * mesh.invAreaCell[:, None]
-        kd4 = jnp.concatenate(
-            [jnp.zeros_like(kdiff[:, :1]), kdiff[:, 1:] + kdiff[:, :-1],
-             jnp.zeros_like(kdiff[:, :1])], axis=-1)    # (nC, nz+1) sum pair
-        kdiff_int_e = 0.25 * (kd4[c1] + kd4[c2])
-        wflux_mix = wflux * mesh.meshScalingDel2[:, None] * kdiff_int_e
-        gmx = wflux_mix[mesh.edgesOnCell]
-        tend_w_euler = jnp.sum(mesh.edgeSignOnCell[..., None] * gmx, axis=1) \
-            * mesh.invAreaCell[:, None]
+        tend_w_euler = tend_w_euler_mix
         if h_mom_visc4 > 0.0:
-            dsw = (delsq_w[c2] - delsq_w[c1]) \
-                * (mesh.dvEdge * mesh.invDcEdge)[:, None]
-            gd4 = dsw[mesh.edgesOnCell]
             tend_w_euler = tend_w_euler - h_mom_visc4 \
-                * jnp.sum((mesh.edgeSignOnCell
-                           * mesh.meshScalingDel4[mesh.edgesOnCell])[..., None]
+                * jnp.sum((mesh.edgeSignOnCell * ms4_eoc)[..., None]
                           * gd4, axis=1) * mesh.invAreaCell[:, None]
         tend_w_euler = tend_w_euler.at[:, 0].set(0.0).at[:, nz].set(0.0)
     else:
@@ -505,30 +575,18 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
         tend_theta = tend_theta * 0.0
 
     if rk_step > 1 and DBG["thpickup"]:  # perturbation-flux pickup (ref :5252-5266)
-        th_save_edge = 0.5 * (theta_m_save[c1] + theta_m_save[c2])
-        pf = (mesh.dvEdge[:, None] * (ru_save - ru) * th_save_edge)
-        gpf = pf[mesh.edgesOnCell]
+        th_save_edge = 0.5 * (ths1 + ths2)
+        pf_e = (mesh.dvEdge[:, None] * (ru_save - ru) * th_save_edge)
+        gpf = pf_e[mesh.edgesOnCell]
         tend_theta = tend_theta \
             - jnp.sum(mesh.edgeSignOnCell[..., None] * gpf, axis=1)
 
-    if rk_step == 1:  # theta mixing (ref :5272-5310)
-        dth = (theta_m[c2] - theta_m[c1]) \
-            * (mesh.dvEdge * mesh.invDcEdge)[:, None] * diag.rho_edge
-        gth = dth[mesh.edgesOnCell]
-        delsq_theta = jnp.sum(mesh.edgeSignOnCell[..., None] * gth, axis=1) \
-            * mesh.invAreaCell[:, None]
-        pr_scale = mesh.meshScalingDel2[:, None] / 1.0  # prandtl = 1
-        mixth = dth * 0.5 * (kdiff[c1] + kdiff[c2]) * pr_scale
-        gmth = mixth[mesh.edgesOnCell]
-        tend_theta_euler = jnp.sum(mesh.edgeSignOnCell[..., None] * gmth,
-                                   axis=1) * mesh.invAreaCell[:, None]
+    if rk_step == 1:  # theta mixing (ref :5272-5310) — stencils from the
+        # consolidated packed-gather block above
+        tend_theta_euler = tend_theta_euler_mix
         if h_theta_visc4 > 0.0:
-            dst = (delsq_theta[c2] - delsq_theta[c1]) \
-                * (mesh.dvEdge * mesh.invDcEdge)[:, None]
-            gds = dst[mesh.edgesOnCell]
             tend_theta_euler = tend_theta_euler - h_theta_visc4 * jnp.sum(
-                (mesh.edgeSignOnCell
-                 * mesh.meshScalingDel4[mesh.edgesOnCell])[..., None] * gds,
+                (mesh.edgeSignOnCell * ms4_eoc)[..., None] * gds,
                 axis=1) * mesh.invAreaCell[:, None]
         if cfg.config_v_theta_eddy_visc2 > 0.0:  # (ref :5342-5381)
             zmid = 0.5 * (grid.zgrid[:, :-1] + grid.zgrid[:, 1:])
@@ -568,6 +626,50 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
                            tend_theta_euler=tend_theta_euler,
                            kdiff=kdiff, dpdz=dpdz, tend_rho=tend_rho)
     return tend_u, tend_rho, tend_theta, tend_w, h_divergence, new_euler
+
+
+# ---------------------------------------------------------------------------
+# packed gathers
+# ---------------------------------------------------------------------------
+
+def _pair_gather(c1, c2, fields):
+    """Gather several (nRows, K_i) fields at both cells of every edge with
+    ONE packed gather per side instead of one per field.
+
+    TPU gathers pay per ROW, not per byte (measured 445 us for 123k rows
+    whether the row is 26 or 104 lanes, PERF.md), and a (N, 26) f32 row
+    occupies a full 128-lane tile anyway — so concatenating fields into the
+    lane dimension before the gather divides the dominant per-row cost by
+    the number of fields packed (measured 2.3x for 4 fields). The
+    concatenate/slice pair is value-exact: each field's gathered rows are
+    bitwise what a standalone gather would produce."""
+    if len(fields) == 1:
+        f = fields[0]
+        return [(f[c1], f[c2])]
+    ks = [f.shape[-1] for f in fields]
+    cat = jnp.concatenate(fields, axis=-1)
+    g1, g2 = cat[c1], cat[c2]
+    outs, o = [], 0
+    for k in ks:
+        outs.append((g1[:, o:o + k], g2[:, o:o + k]))
+        o += k
+    return outs
+
+
+def _rows_gather(rows, fields):
+    """Same packing for multi-width row gathers (edgesOnCell /
+    edgesOnVertex / verticesOnCell): one (nRows, width, sum K_i) gather,
+    sliced back per field."""
+    if len(fields) == 1:
+        return [fields[0][rows]]
+    ks = [f.shape[-1] for f in fields]
+    cat = jnp.concatenate(fields, axis=-1)
+    g = cat[rows]
+    outs, o = [], 0
+    for k in ks:
+        outs.append(g[..., o:o + k])
+        o += k
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -654,8 +756,7 @@ def set_smlstep_pert_variables(grid: AtmGrid, tend_u, tend_w):
     sign_lev = jnp.sign(tend_u)                          # (nE, nz)
     sign_int = jnp.concatenate([sign_lev, jnp.zeros_like(tend_u[:, :1])],
                                axis=-1)
-    g_flux = ut_int[mesh.edgesOnCell]                    # (nC, mE, nz+1)
-    g_sign = sign_int[mesh.edgesOnCell]
+    g_flux, g_sign = _rows_gather(mesh.edgesOnCell, [ut_int, sign_int])
     zbz3 = grid.zb_cell + g_sign * grid.zb3_cell
     contrib = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3 * g_flux, axis=1)
     w_tend = tend_w - contrib
@@ -674,11 +775,38 @@ class AcousticVars(NamedTuple):
     wwAvg: Any
 
 
+class AcousticHoist(NamedTuple):
+    """Acoustic-loop-invariant edge quantities, hoisted out of the scanned
+    substep body: zz is run-static and exner/theta_m are fixed across a
+    substep's acoustic iterations (exner is only refreshed by the rk_step-3
+    recover), but XLA cannot hoist a gather out of a `lax.scan` body — so
+    without this the reference's :2480-2504 pressure-gradient loop pays 6
+    cell-pair gathers per acoustic iteration for values that never change."""
+    zz_pair: Any      # (nE, nz)  0.5*(zz[c1]+zz[c2])
+    pg_coef: Any      # (nE, nz)  cqu*0.5*C2*(exner[c1]+exner[c2])
+    th_edge: Any      # (nE, nz)  0.5*(theta_m[c1]+theta_m[c2])
+    th_sum: Any       # (nE, nz)  theta_m[c1]+theta_m[c2]
+
+
+def acoustic_hoist(grid: AtmGrid, theta_m, exner, cqu=1.0) -> AcousticHoist:
+    """One packed pair gather for every substep-invariant edge quantity the
+    acoustic loop consumes (ref :2480-2504, :2536-2549, :2726-2805)."""
+    mesh = grid.mesh
+    c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
+    ((zz1, zz2), (ex1, ex2), (t1, t2)) = _pair_gather(
+        c1, c2, [grid.zz, exner, theta_m])
+    th_sum = t1 + t2
+    return AcousticHoist(zz_pair=0.5 * (zz1 + zz2),
+                         pg_coef=cqu * 0.5 * C2 * (ex1 + ex2),
+                         th_edge=0.5 * th_sum, th_sum=th_sum)
+
+
 def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
                   av: AcousticVars, dts,
                   theta_m, exner, w, rho_zz, rw, rw_save, ru, ru_save,
                   tend_ru, tend_rho, tend_rt, tend_rw, cqu=1.0,
-                  xch_rtheta=None):
+                  xch_rtheta=None, hoist: AcousticHoist | None = None,
+                  damp: bool = False):
     """One forward-backward acoustic substep (ref :2447-2723).
 
     The reference special-cases small_step==1 (perturbation fields zeroed,
@@ -686,6 +814,20 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     initialized to zeros at each RK stage the general branch reproduces
     that first step exactly (the pgrad terms vanish on zero perturbations),
     so one uniform body runs under `lax.scan` over the substeps.
+
+    hoist: substep-invariant edge quantities (see AcousticHoist); computed
+    here when not supplied (standalone callers), precomputed once per
+    substep by the srk3 driver.
+
+    damp: fold the *previous* iteration's 3D divergence damping
+    (ref :2726-2805) into this step's entry. Damping only modifies ru_p,
+    and on a zero-initialized `av` the dpdt term vanishes, so running it
+    first on iteration k+1 is value-identical to running it last on
+    iteration k — and it lets the damping's rtheta_pp-difference gathers
+    ride in the SAME packed gather as the pressure-gradient's; the final
+    iteration's damping is applied by the driver after the scan. When
+    damp=True the rho_pp/rtheta_pp/dpdt pair reads collapse from 6 row
+    gathers per iteration to 2.
 
     xch_rtheta: optional halo-refresh callable fired on rtheta_pp the
     moment it is produced — the TPU analogue of the reference's
@@ -701,16 +843,31 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     epssm = cfg.config_epssm
     resm = (1.0 - epssm) / (1.0 + epssm)
 
+    if hoist is None:
+        hoist = acoustic_hoist(grid, theta_m, exner, cqu)
+
+    # one packed pair gather for every per-iteration cell field the
+    # momentum update (and folded damping) reads (ref :2480-2504)
+    fields = [av.rho_pp, av.rtheta_pp]
+    if damp:
+        fields.append(av.rtheta_pp - av.rtheta_pp_old)   # dpdt (ref :2791)
+    pairs = _pair_gather(c1, c2, fields)
+    (rp1, rp2), (rt1, rt2) = pairs[0], pairs[1]
+
+    ru_p_in = av.ru_p
+    if damp:
+        dp1, dp2 = pairs[2]
+        coefd = 2.0 * cfg.config_smdiv * cfg.config_len_disp / dts
+        # div1 = -dpdt[c1], div2 = -dpdt[c2]; ru_p += coef*(div2-div1)/th
+        ru_p_in = ru_p_in + coefd * (dp1 - dp2) / hoist.th_sum
+
     # horizontal momentum update with pressure gradient (ref :2480-2504)
-    zz_pair = 0.5 * (grid.zz[c1] + grid.zz[c2])
-    pgrad = ((av.rtheta_pp[c2] - av.rtheta_pp[c1])
-             * mesh.invDcEdge[:, None]) / zz_pair
-    pgrad = cqu * 0.5 * C2 * (exner[c1] + exner[c2]) * pgrad
-    pgrad = pgrad + 0.5 * grid.zxu * gravity \
-        * (av.rho_pp[c1] + av.rho_pp[c2])
+    pgrad = ((rt2 - rt1) * mesh.invDcEdge[:, None]) / hoist.zz_pair
+    pgrad = hoist.pg_coef * pgrad
+    pgrad = pgrad + 0.5 * grid.zxu * gravity * (rp1 + rp2)
     if not DBG["apgrad"]:
         pgrad = pgrad * 0.0
-    ru_p = av.ru_p + dts * (tend_ru - pgrad)
+    ru_p = ru_p_in + dts * (tend_ru - pgrad)
     ruAvg = av.ruAvg + ru_p
     rtheta_pp_old = av.rtheta_pp
     rho_pp0 = av.rho_pp
@@ -719,7 +876,7 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     wwAvg0 = av.wwAvg
 
     # cell divergence contributions (ref :2536-2549)
-    th_edge = 0.5 * (theta_m[c1] + theta_m[c2])
+    th_edge = hoist.th_edge
     flux_r = (mesh.dvEdge[:, None] * ru_p)
     flux_t = flux_r * th_edge
     if not DBG["tsflux"]:
@@ -814,15 +971,18 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
 
 
 def divergence_damping_3d(grid: AtmGrid, cfg: AtmConfig, av: AcousticVars,
-                          dts, theta_m):
-    """ref: atm_divergence_damping_3d (:2726)."""
+                          dts, theta_m, th_sum=None):
+    """ref: atm_divergence_damping_3d (:2726). th_sum: optional hoisted
+    theta_m[c1]+theta_m[c2] (AcousticHoist) to skip the pair gathers."""
     mesh = grid.mesh
     c1, c2 = mesh.cellsOnEdge[:, 0], mesh.cellsOnEdge[:, 1]
     coef = 2.0 * cfg.config_smdiv * cfg.config_len_disp / dts
     dpdt = av.rtheta_pp - av.rtheta_pp_old
+    if th_sum is None:
+        th_sum = theta_m[c1] + theta_m[c2]
     div1 = -dpdt[c1]
     div2 = -dpdt[c2]
-    ru_p = av.ru_p + coef * (div2 - div1) / (theta_m[c1] + theta_m[c2])
+    ru_p = av.ru_p + coef * (div2 - div1) / th_sum
     return av._replace(ru_p=ru_p)
 
 
@@ -874,8 +1034,9 @@ def recover_large_step_variables(grid: AtmGrid, cfg: AtmConfig,
     ru_int = to_interface(ru, fzm, fzp)
     # surface flux uses cf1/2/3 extrapolation
     flux_sfc = cf1 * ru[:, 0] + cf2 * ru[:, 1] + cf3 * ru[:, 2]  # (nE,)
-    g_int = ru_int[mesh.edgesOnCell]                     # (nC, mE, nz+1)
-    g_sfc = flux_sfc[mesh.edgesOnCell]                   # (nC, mE)
+    g_int, g_sfc1 = _rows_gather(mesh.edgesOnCell,
+                                 [ru_int, flux_sfc[:, None]])
+    g_sfc = g_sfc1[..., 0]                               # (nC, mE)
     zbz3_int = grid.zb_cell + jnp.sign(g_int) * grid.zb3_cell
     zbz3_sfc = grid.zb_cell[:, :, 0] + jnp.sign(g_sfc) * grid.zb3_cell[:, :, 0]
     w_metric = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3_int * g_int,

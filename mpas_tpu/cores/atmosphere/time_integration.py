@@ -172,6 +172,12 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
         mkw = {} if not moist else {"qtot": qtot, "cqw": cqw}
         coefs = vert_imp_coefs(grid, cfg, rk_sub[0], th2, exner, rtheta_p,
                                **mkw)
+        # substep-invariant acoustic edge quantities (zz/exner/theta pairs)
+        # hoisted out of the scanned acoustic body — XLA cannot move a
+        # gather out of a lax.scan on its own
+        from mpas_tpu.cores.atmosphere.nhyd import acoustic_hoist
+        hoist = acoustic_hoist(grid, th_save, exner,
+                               cqu if moist else 1.0)
         euler = None
         for rk in (1, 2, 3):
             if order == 3 and rk == 2:
@@ -206,24 +212,29 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
                 # scheduling): each field's ppermute is issued the moment the
                 # field is produced, with independent work after it —
                 # rtheta_pp's permute rides behind the rho_pp recovery
-                # (inside acoustic_step), rho_pp's behind the divergence
-                # damping. Values at every consumption point are identical
-                # to the consumer-side placement: iteration k+1's pgrad
-                # reads the same refreshed halos either way (iteration 1
-                # enters with zero-initialized, trivially-valid fields).
+                # (inside acoustic_step), rho_pp's behind the packed entry
+                # gathers of the next iteration. Values at every consumption
+                # point are identical to the consumer-side placement:
+                # iteration k+1's pgrad reads the same refreshed halos
+                # either way (iteration 1 enters with zero-initialized,
+                # trivially-valid fields). damp=True folds the previous
+                # iteration's divergence damping into this iteration's
+                # packed gather (a no-op on the zero-initialized entry);
+                # the final iteration's damping is applied after the scan.
                 av_c = acoustic_step(
                     grid, cfg, coefs, av_c, rk_sub[_rk - 1],
                     th_save, exner, w2, rho2, rw, rw_save, ru, ru_save,
                     tend_u, tend_rho, tend_theta, tend_rw,
                     cqu=cqu if moist else 1.0,
-                    xch_rtheta=lambda x: xch.cell(x, depth=1))
+                    xch_rtheta=lambda x: xch.cell(x, depth=1),
+                    hoist=hoist, damp=True)
                 av_c = av_c._replace(rho_pp=xch.cell(av_c.rho_pp, depth=1))
-                av_c = divergence_damping_3d(grid, cfg, av_c,
-                                             rk_sub[_rk - 1], th_save)
                 return av_c, None
 
             av, _ = jax.lax.scan(acoustic_body, av, None,
                                  length=nsub[rk - 1])
+            av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
+                                       th_save, th_sum=hoist.th_sum)
             # ref: rw_p/ru_p(2)/rho_pp/rtheta_pp(2) exchanged before recover
             # (:873-887) — two layers; ruAvg/wwAvg full for the transport
             av = av._replace(rw_p=xch.cell(av.rw_p, depth=2),

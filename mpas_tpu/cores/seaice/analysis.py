@@ -19,7 +19,8 @@ Members covered (reference file in parens):
   pointwiseStats (…pointwise_stats.F), highFrequencyOutput
   (…high_frequency_output.F), geographicalVectors
   (…geographical_vectors.F), loadBalance (…load_balance.F),
-  unitConversion (…unit_conversion.F), timeSeriesStats
+  unitConversion (…unit_conversion.F), iceShelves (…ice_shelves.F:
+  ice area over land-ice-masked cavity cells), timeSeriesStats
   (…time_series_stats.F genre: avg/min/max accumulation over the
   member's own call history).
 """
@@ -344,8 +345,33 @@ class TimeSeriesStats:
         return out
 
 
+class IceShelves:
+    """Ice area over ice-shelf cavities: sum(iceAreaCell * areaCell) over
+    cells flagged by a land-ice mask (ref:
+    mpas_seaice_ice_shelves.F:223-322, iceAreaOverIceShelves). The
+    reference mask arrives from the ocean coupler (landIceMask in the
+    ocean_coupling pool); standalone runs here take an explicit mask, or
+    default to the sub-60S band on spherical meshes (zero on planar —
+    no cavities)."""
+
+    def __init__(self, land_ice_mask: Any | None = None):
+        self._mask = land_ice_mask
+
+    def init(self, grid, cfg):
+        if self._mask is None:
+            lat = np.asarray(grid.mesh.latCell)
+            self._mask = (lat < np.deg2rad(-60.0)).astype(float)
+        self._mask = jnp.asarray(self._mask)
+
+    def compute(self, grid, cfg, state):
+        a, _, _ = _cell_totals(state)
+        return {"iceAreaOverIceShelves":
+                jnp.sum(a * grid.mesh.areaCell * self._mask)}
+
+
 _REGISTRY = {
     "areaVariables": AreaVariables,
+    "iceShelves": IceShelves,
     "conservationCheck": ConservationCheck,
     "icePresent": IcePresent,
     "maximumIcePresence": MaximumIcePresence,

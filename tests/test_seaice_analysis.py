@@ -105,3 +105,19 @@ def test_temperatures_inversion_consistency(setup):
         np.asarray(out1.iceVolumeCategory)[..., None] > cfg.puny, t.shape)
     assert np.all(t[has] <= 0.5)
     assert np.all(t[has] > -60.0)
+
+
+def test_ice_shelves_masked_area(setup):
+    """iceAreaOverIceShelves = sum(iceAreaCell*areaCell) over masked cells
+    (ref: mpas_seaice_ice_shelves.F:223-322)."""
+    from mpas_tpu.cores.seaice.analysis import IceShelves
+    m, cfg, grid, state, forcing = setup
+    mask = np.zeros(m.nCells)
+    mask[: m.nCells // 3] = 1.0
+    mem = IceShelves(land_ice_mask=mask)
+    mem.init(grid, cfg)
+    out = mem.compute(grid, cfg, state)
+    a = np.sum(np.asarray(state.iceAreaCategory), axis=-1)
+    expect = float(np.sum(a * np.asarray(m.areaCell) * mask))
+    np.testing.assert_allclose(float(out["iceAreaOverIceShelves"]),
+                               expect, rtol=1e-6)
