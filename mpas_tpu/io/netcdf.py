@@ -15,7 +15,17 @@ from scipy.io import netcdf_file
 
 
 def read_netcdf(path: str, variables=None):
-    """Read variables + dims + attrs from a NetCDF-3 file into numpy."""
+    """Read variables + dims + attrs from a NetCDF file into numpy.
+
+    Dispatches on the file magic: classic NetCDF-3 ('CDF\\x01'/'CDF\\x02')
+    via scipy, netCDF4/HDF5 ('\\x89HDF') via the pure-python HDF5 parser
+    (io/hdf5.py) — mirroring the reference's multi-iotype open
+    (ref: mpas_io.F:144-200 MPAS_IO_{PNETCDF,NETCDF,NETCDF4})."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic[:4] == b"\x89HDF":
+        from mpas_tpu.io.hdf5 import read_hdf5
+        return read_hdf5(path, variables)
     out = {}
     with netcdf_file(path, "r", mmap=False) as f:
         dims = dict(f.dimensions)

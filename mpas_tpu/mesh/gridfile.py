@@ -249,11 +249,15 @@ def mesh_from_netcdf(path: str, dtype=np.float64) -> Mesh:
     return mesh
 
 
-def mesh_to_netcdf(mesh: Mesh, path: str):
+def mesh_to_netcdf(mesh: Mesh, path: str, fmt: str = "classic"):
     """Write a Mesh as an MPAS-format grid.nc (1-based Fortran convention).
 
     The file carries the full Registry mesh catalogue, readable by the
     reference model and by mesh_from_netcdf (round-trip tested).
+
+    fmt: "classic" (NetCDF-3 64-bit offset, scipy) or "netcdf4" (HDF5
+    container, chunked+shuffle+deflate — the format MPAS-Tools/JIGSAW
+    meshes typically ship in; ref: mpas_io.F:144 MPAS_IO_NETCDF4).
     """
     g = lambda a: np.asarray(a)
     i1 = lambda a, mask=None: np.where(
@@ -366,4 +370,10 @@ def mesh_to_netcdf(mesh: Mesh, path: str):
         "x_period": float(mesh.x_period), "y_period": float(mesh.y_period),
         "mesh_spec": "1.0", "source": "mpas_tpu",
     }
-    write_netcdf(path, dims, variables, attrs)
+    if fmt == "netcdf4":
+        from mpas_tpu.io.hdf5_write import write_hdf5
+        dims4 = {k: (1 if v is None else v) for k, v in dims.items()}
+        write_hdf5(path, dims4, variables, attrs, compress=True,
+                   chunk_rows=max(64, mesh.nCells // 8))
+    else:
+        write_netcdf(path, dims, variables, attrs)
