@@ -103,7 +103,10 @@ def shard_seaice_grid(grid: SeaiceGrid, part,
         tanLatCellOverR=sc(grid.tanLatCellOverR, "cell"),
         tanLatVertexOverR=sc(grid.tanLatVertexOverR, "vertex"),
         interiorVertex=sc(grid.interiorVertex, "vertex"),
-        variational=var)
+        variational=var,
+        # global scalar, replicated (the reference's dmpar_min result)
+        dvEdgeMin=None if grid.dvEdgeMin is None else jnp.broadcast_to(
+            jnp.asarray(grid.dvEdgeMin), (smesh.n_parts,)))
     return ShardedSeaice(grid=local, smesh=smesh)
 
 

@@ -36,6 +36,12 @@ class SeaiceGrid:
     interiorVertex: Any    # (nVertices,)
     # Wachspress basis tensors for the variational scheme (None = weak-only)
     variational: Any = None
+    # global minimum edge length, for the revised-EVP numerical inertia
+    # coefficient (ref: seaice_init_evp's dvEdgeMinGlobal dmpar_min,
+    # mpas_seaice_velocity_solver_constitutive_relation.F:104-131);
+    # computed host-side at grid build so every shard carries the same
+    # global value (the analogue of the reference's mpas_dmpar_min_real)
+    dvEdgeMin: Any = None
 
 
 @struct.dataclass
@@ -157,6 +163,8 @@ def make_grid(mesh: Mesh, variational: bool = False) -> SeaiceGrid:
         tanLatCellOverR=jnp.asarray(tlc), tanLatVertexOverR=jnp.asarray(tlv),
         interiorVertex=jnp.asarray(interior.astype(ne.dtype)),
         variational=var_coeffs,
+        dvEdgeMin=jnp.asarray(
+            float(np.min(np.asarray(m.dvEdge)[np.asarray(m.dvEdge) > 0]))),
     )
 
 

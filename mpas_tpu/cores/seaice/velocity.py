@@ -26,6 +26,10 @@ from mpas_tpu.ops import stencils as st
 # ref: mpas_seaice_velocity_solver_constitutive_relation.F:29-34
 _ECCENTRICITY2 = 4.0
 _DAMPING_PARAM = 0.36
+# Bouillon et al. (2013) revised-EVP parameters
+# (ref: mpas_seaice_velocity_solver_constitutive_relation.F:43-45)
+_DAMPING_RATIO_DENOM = 0.86   # Se > 0.5
+_DAMPING_RATIO = 5.5e-3       # xi = Sv/Sc < 1
 
 
 def aggregate_state(cfg: SeaiceConfig, state: SeaiceState):
@@ -92,6 +96,32 @@ def evp_constitutive(cfg: SeaiceConfig, s11, s22, s12, e11, e22, e12,
     replacement_pressure = pcoef * delta
     pcoef = pcoef * dt_elastic / (2.0 * damping_timescale)
     denom = 1.0 + 0.5 * dt_elastic / damping_timescale
+
+    s1 = (s1 + pcoef * (div - delta)) / denom
+    s2 = (s2 + (pcoef / _ECCENTRICITY2) * ten) / denom
+    s12 = (s12 + (pcoef / _ECCENTRICITY2) * shr * 0.5) / denom
+    return 0.5 * (s1 + s2), 0.5 * (s1 - s2), s12, replacement_pressure
+
+
+def evp_constitutive_revised(cfg: SeaiceConfig, s11, s22, s12,
+                             e11, e22, e12, pressure):
+    """Revised-EVP stress relaxation (Bouillon et al. 2013): the stress
+    relaxation factor is the fixed damping-ratio pair instead of
+    dt_elastic/dampingTimescale, making the iteration contractive (the
+    pseudo-elastic waves decay by construction, unlike classic EVP).
+    ref: seaice_evp_constitutive_relation_revised
+    (mpas_seaice_velocity_solver_constitutive_relation.F:230-294)."""
+    div = e11 + e22
+    ten = e11 - e22
+    shr = 2.0 * e12
+    s1 = s11 + s22
+    s2 = s11 - s22
+
+    delta = jnp.sqrt(div * div + (ten * ten + shr * shr) / _ECCENTRICITY2)
+    pcoef = pressure / jnp.maximum(delta, cfg.puny)
+    replacement_pressure = pcoef * delta
+    pcoef = pcoef * 2.0 * _DAMPING_RATIO / _DAMPING_RATIO_DENOM
+    denom = 1.0 + 2.0 * _DAMPING_RATIO / _DAMPING_RATIO_DENOM
 
     s1 = (s1 + pcoef * (div - delta)) / denom
     s2 = (s2 + (pcoef / _ECCENTRICITY2) * ten) / denom
@@ -206,6 +236,20 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
         raise ValueError("variational scheme requires "
                          "make_grid(mesh, variational=True)")
 
+    revised = cfg.config_revised_evp
+    if revised:
+        # numerical inertia coefficient brlx (ref: seaice_init_evp,
+        # constitutive_relation.F:128-131); dvEdgeMin is the grid-build
+        # global minimum (the dmpar_min analogue)
+        if grid.dvEdgeMin is None:
+            raise ValueError("config_revised_evp requires grid.dvEdgeMin "
+                             "(rebuild the grid with make_grid)")
+        gamma = 0.25 * 1.0e11 * dt_dyn
+        brlx = (2.0 * _DAMPING_RATIO_DENOM * _DAMPING_RATIO * gamma) \
+            / grid.dvEdgeMin ** 2
+        u_init = state.uVelocity
+        v_init = state.vVelocity
+
     def subcycle(carry, _):
         u, v, s11, s22, s12 = carry
         # depth-2 restores the two rings (vertex->cell strains ->
@@ -221,17 +265,27 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
             e11, e22, e12 = strain_tensor_variational(
                 m, grid.variational, u, v)
             msk = solve_stress[:, None]
-            s11, s22, s12, _rp = evp_constitutive(
-                cfg, s11, s22, s12, e11 * msk, e22 * msk, e12 * msk,
-                pressure[:, None], dt_e, damping)
+            if revised:
+                s11, s22, s12, _rp = evp_constitutive_revised(
+                    cfg, s11, s22, s12, e11 * msk, e22 * msk, e12 * msk,
+                    pressure[:, None])
+            else:
+                s11, s22, s12, _rp = evp_constitutive(
+                    cfg, s11, s22, s12, e11 * msk, e22 * msk, e12 * msk,
+                    pressure[:, None], dt_e, damping)
             div_u, div_v = stress_divergence_variational(
                 m, grid.variational, s11, s22, s12)
             div_u = div_u * solve_vel
             div_v = div_v * solve_vel
         else:
             e11, e22, e12 = strain_tensor_weak(grid, u, v, solve_stress)
-            s11, s22, s12, _rp = evp_constitutive(
-                cfg, s11, s22, s12, e11, e22, e12, pressure, dt_e, damping)
+            if revised:
+                s11, s22, s12, _rp = evp_constitutive_revised(
+                    cfg, s11, s22, s12, e11, e22, e12, pressure)
+            else:
+                s11, s22, s12, _rp = evp_constitutive(
+                    cfg, s11, s22, s12, e11, e22, e12, pressure, dt_e,
+                    damping)
             div_u, div_v = stress_divergence_weak(grid, s11, s22, s12,
                                                   solve_vel)
 
@@ -243,16 +297,26 @@ def solve_velocities(grid: SeaiceGrid, cfg: SeaiceConfig,
         else:
             w_coef = jnp.zeros_like(u)
 
-        # 2x2 per-vertex implicit solve (ref: solve_velocity :2593)
+        # 2x2 per-vertex implicit solve (ref: solve_velocity :2593;
+        # revised variant solve_velocity_revised :2721 — numerical-inertia
+        # relaxation toward the dynamics-step-initial velocity)
         fsgn = jnp.sign(mass_f)
-        a11 = mass_safe / dt_e + w_coef * co
+        if revised:
+            a_diag = (brlx + 1.0) * mass_safe / dt_dyn + w_coef * co
+            rhs_inert_u = mass_safe * (brlx * u + u_init) / dt_dyn
+            rhs_inert_v = mass_safe * (brlx * v + v_init) / dt_dyn
+        else:
+            a_diag = mass_safe / dt_e + w_coef * co
+            rhs_inert_u = mass_safe * u / dt_e
+            rhs_inert_v = mass_safe * v / dt_e
+        a11 = a_diag
         a12 = -mass_f - w_coef * so * fsgn
         a21 = mass_f + w_coef * so * fsgn
-        a22 = mass_safe / dt_e + w_coef * co
+        a22 = a_diag
         rhs_u = (div_u + tau_au + tilt_u + w_coef * (uo * co - vo * so)
-                 + mass_safe * u / dt_e)
+                 + rhs_inert_u)
         rhs_v = (div_v + tau_av + tilt_v + w_coef * (vo * co + uo * so)
-                 + mass_safe * v / dt_e)
+                 + rhs_inert_v)
         det = a11 * a22 - a12 * a21
         u_new = (a22 * rhs_u - a12 * rhs_v) / det
         v_new = (a11 * rhs_v - a21 * rhs_u) / det
