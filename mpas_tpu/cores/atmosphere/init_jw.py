@@ -144,16 +144,35 @@ def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int,
                  + 10.0 / 63.0) * 2.0 * U0 * np.cos(etav) ** 1.5
                 + (1.6 * np.cos(phi) ** 3 * (np.sin(phi) ** 2 + 2.0 / 3.0)
                    - pii / 4.0) * r_earth * omega)
+        # inner-loop invariants (tt is fixed within the 25 relaxations)
+        inv_tt = 1.0 / tt
+        p_fac = inv_tt / (rgas * zz)
+        r_off = rb * (tt - T0B) * inv_tt
+        cm = -dzu[1:nz] * gravity * fzp[1:nz]
+        cp_ = -dzu[1:nz] * gravity * fzm[1:nz]
+        base0 = p0 - ppb[:, 0]
+        rr_b = np.empty_like(pp)
+        incr_b = np.empty((nC, nz - 1))
+        ppi_b = np.empty((nC, nz))
+        scr = np.empty((nC, nz - 1))
         for _ in range(25):
-            rr = (pp / (rgas * zz) - rb * (tt - T0B)) / tt
-            ppi = np.zeros((nC, nz))
-            ppi[:, 0] = p0 - 0.5 * dzw[0] * gravity \
-                * (1.25 * (rr[:, 0] + rb[:, 0]) - 0.25 * (rr[:, 1] + rb[:, 1])) \
-                - ppb[:, 0]
-            for k in range(nz - 1):
-                ppi[:, k + 1] = ppi[:, k] - dzu[k + 1] * gravity * (
-                    rr[:, k] * fzp[k + 1] + rr[:, k + 1] * fzm[k + 1])
-            pp = 0.2 * ppi + 0.8 * pp
+            np.multiply(pp, p_fac, out=rr_b)
+            rr_b -= r_off
+            rr = rr_b
+            ppi0 = base0 - 0.5 * dzw[0] * gravity \
+                * (1.25 * (rr[:, 0] + rb[:, 0])
+                   - 0.25 * (rr[:, 1] + rb[:, 1]))
+            # hydrostatic downward integration as a cumulative sum over
+            # levels (was a sequential nz-loop of (nC,) updates)
+            np.multiply(rr[:, :-1], cm, out=incr_b)
+            np.multiply(rr[:, 1:], cp_, out=scr)
+            incr_b += scr
+            ppi_b[:, 0] = 0.0
+            np.cumsum(incr_b, axis=1, out=ppi_b[:, 1:])
+            ppi_b += ppi0[:, None]
+            pp *= 0.8
+            ppi_b *= 0.2
+            pp += ppi_b
     exner = ((ppb + pp) / p0) ** (rgas / cp)
     theta = tt / exner
     rho_zz = rb + rr

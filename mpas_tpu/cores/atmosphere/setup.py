@@ -308,47 +308,59 @@ def build_adv_coefs(mesh: Mesh, deriv_two, coef_3rd_order: float):
     # 7+-sided cells so the pad adapts (ref dims advCellsForEdge FIFTEEN,
     # core_atmosphere/Registry.xml)
     n_adv = max(N_ADV, 2 * mesh.maxEdges)
+    mE = mesh.maxEdges
+    c1, c2 = coe[:, 0], coe[:, 1]
+
+    # Vectorized stencil dedup (replaces the per-edge Python loop; same
+    # candidate order as the reference, so slot layout and accumulation
+    # order — hence bits — are identical):
+    # candidates per edge = [c1, c2, coc[c1,:], coc[c2,:]]  (S = 2+2*mE)
+    S = 2 + 2 * mE
+    cand = np.concatenate([c1[:, None], c2[:, None], coc[c1], coc[c2]],
+                          axis=1)                               # (nE, S)
+    i_idx = np.arange(mE)[None, :]
+    valid = np.concatenate(
+        [np.ones((nE, 2), bool), i_idx < nEoC[c1][:, None],
+         i_idx < nEoC[c2][:, None]], axis=1)                    # (nE, S)
+    # first occurrence of each candidate among the valid slots
+    eq = cand[:, :, None] == cand[:, None, :]                   # (nE, S, S)
+    earlier = np.tril(np.ones((S, S), bool), -1)[None]
+    dup = np.any(eq & earlier & valid[:, None, :], axis=2)
+    is_first = valid & ~dup
+    slot = np.cumsum(is_first, axis=1) - 1                      # rank if first
+    # map every valid candidate to its first occurrence's compressed slot
+    first_j = np.argmax(eq & is_first[:, None, :], axis=2)      # (nE, S)
+    tgt = np.take_along_axis(slot, first_j, axis=1)             # (nE, S)
+    nAdv = np.sum(is_first, axis=1).astype(np.int64)
+
     advCells = np.zeros((nE, n_adv), dtype=np.int64)
-    coefs = np.zeros((nE, n_adv))
-    coefs3 = np.zeros((nE, n_adv))
-    nAdv = np.zeros(nE, dtype=np.int64)
-    for e in range(nE):
-        c1, c2 = int(coe[e, 0]), int(coe[e, 1])
-        lst = [c1, c2]
-        for i in range(int(nEoC[c1])):
-            cc = int(coc[c1, i])
-            if cc != c2:
-                lst.append(cc)
-        for i in range(int(nEoC[c2])):
-            cc = int(coc[c2, i])
-            if cc not in lst:
-                lst.append(cc)
-        n = len(lst)
-        nAdv[e] = n
-        advCells[e, :n] = lst
-        pos = {c: j for j, c in enumerate(lst)}
-        a = np.zeros(n)
-        a3 = np.zeros(n)
-        # cell1 contributions
-        a[pos[c1]] += deriv_two[e, 0, 0]
-        a3[pos[c1]] += deriv_two[e, 0, 0]
-        for i in range(int(nEoC[c1])):
-            j = pos[int(coc[c1, i])]
-            a[j] += deriv_two[e, 0, i + 1]
-            a3[j] += deriv_two[e, 0, i + 1]
-        # cell2 contributions
-        a[pos[c2]] += deriv_two[e, 1, 0]
-        a3[pos[c2]] -= deriv_two[e, 1, 0]
-        for i in range(int(nEoC[c2])):
-            j = pos[int(coc[c2, i])]
-            a[j] += deriv_two[e, 1, i + 1]
-            a3[j] -= deriv_two[e, 1, i + 1]
-        a *= -(dc[e] ** 2) / 12.0
-        a3 *= -(dc[e] ** 2) / 12.0
-        a[pos[c1]] += 0.5
-        a[pos[c2]] += 0.5
-        coefs[e, :n] = dv[e] * a
-        coefs3[e, :n] = dv[e] * a3 * coef_3rd_order
+    rows = np.repeat(np.arange(nE), S).reshape(nE, S)
+    advCells[rows[is_first], slot[is_first]] = cand[is_first]
+
+    # contributions in the reference's order (c1 self, c1 nbrs, c2 self,
+    # c2 nbrs), accumulated slot-wise with np.add.at (ordered, sequential
+    # — matches the loop's += order bitwise)
+    contrib = np.concatenate(
+        [deriv_two[:, 0, 0][:, None], deriv_two[:, 1, 0][:, None],
+         deriv_two[:, 0, 1:mE + 1], deriv_two[:, 1, 1:mE + 1]], axis=1)
+    sgn3 = np.concatenate(
+        [np.ones((nE, 1)), -np.ones((nE, 1)),
+         np.ones((nE, mE)), -np.ones((nE, mE))], axis=1)
+    order = np.array([0] + list(range(2, 2 + mE))
+                     + [1] + list(range(2 + mE, S)))
+    a = np.zeros((nE, n_adv))
+    a3 = np.zeros((nE, n_adv))
+    flat_rows = rows[:, order][valid[:, order]]
+    flat_tgt = tgt[:, order][valid[:, order]]
+    np.add.at(a, (flat_rows, flat_tgt), contrib[:, order][valid[:, order]])
+    np.add.at(a3, (flat_rows, flat_tgt),
+              (contrib * sgn3)[:, order][valid[:, order]])
+    a *= -(dc ** 2)[:, None] / 12.0
+    a3 *= -(dc ** 2)[:, None] / 12.0
+    a[np.arange(nE), tgt[:, 0]] += 0.5
+    a[np.arange(nE), tgt[:, 1]] += 0.5
+    coefs = dv[:, None] * a
+    coefs3 = dv[:, None] * a3 * coef_3rd_order
     return (advCells.astype(np.int32), coefs, coefs3, nAdv)
 
 
@@ -363,23 +375,26 @@ def build_deformation_weights(mesh: Mesh):
     eoc = np.asarray(mesh.edgesOnCell)
     coe = np.asarray(mesh.cellsOnEdge)
     nEoC = np.asarray(mesh.nEdgesOnCell)
-    defc_a = np.zeros((nC, mE))
-    defc_b = np.zeros((nC, mE))
-    for c in range(nC):
-        n = int(nEoC[c])
-        verts = voc[c, :n]
-        xs, ys = _tangent_coords(mesh, cxyz[c], vxyz[verts])
-        xn = np.roll(xs, -1)
-        yn = np.roll(ys, -1)
-        area = np.sum(0.25 * (xs + xn) * (yn - ys) - 0.25 * (ys + yn) * (xn - xs))
-        # edge i of the cell runs vertex i -> vertex i+1
-        dl = np.sqrt((xn - xs) ** 2 + (yn - ys) ** 2)
-        theta = np.arctan2(yn - ys, xn - xs)
-        ca = dl * (np.cos(theta) ** 2 - np.sin(theta) ** 2) / area
-        cb = dl * 2.0 * np.sin(theta) * np.cos(theta) / area
-        sign = np.where(coe[eoc[c, :n], 0] == c, 1.0, -1.0)
-        defc_a[c, :n] = ca * sign
-        defc_b[c, :n] = cb * sign
+    # batched over all cells (was a 40k-iteration Python loop = 11 s of
+    # the jw_120km setup): tangent-plane projection of every cell's vertex
+    # ring at once, pad slots masked
+    j = np.arange(mE)[None, :]
+    n = nEoC[:, None]
+    valid = j < n
+    xs, ys = _tangent_coords(mesh, cxyz[:, None, :],
+                             vxyz[voc])                     # (nC, mE)
+    jn = np.where(j + 1 < n, j + 1, 0)
+    xn = np.take_along_axis(xs, jn, axis=1)
+    yn = np.take_along_axis(ys, jn, axis=1)
+    terms = 0.25 * (xs + xn) * (yn - ys) - 0.25 * (ys + yn) * (xn - xs)
+    area = np.sum(np.where(valid, terms, 0.0), axis=1, keepdims=True)
+    dl = np.sqrt((xn - xs) ** 2 + (yn - ys) ** 2)
+    theta = np.arctan2(yn - ys, xn - xs)
+    ca = dl * (np.cos(theta) ** 2 - np.sin(theta) ** 2) / area
+    cb = dl * 2.0 * np.sin(theta) * np.cos(theta) / area
+    sign = np.where(coe[eoc, 0] == np.arange(nC)[:, None], 1.0, -1.0)
+    defc_a = np.where(valid, ca * sign, 0.0)
+    defc_b = np.where(valid, cb * sign, 0.0)
     return defc_a, defc_b
 
 
@@ -407,17 +422,23 @@ def build_reconstruct_weights(mesh: Mesh):
         ec = np.stack([-np.sin(lonC), np.cos(lonC), np.zeros_like(lonC)], -1)
         ncv = np.stack([-np.sin(latC) * np.cos(lonC),
                         -np.sin(latC) * np.sin(lonC), np.cos(latC)], -1)
-    for c in range(nC):
-        n = int(nEoC[c])
-        es = eoc[c, :n]
-        if mesh.on_sphere:
-            # project edge normals onto the cell's local (east, north) frame
-            N = np.stack([nvec3[es] @ ec[c], nvec3[es] @ ncv[c]], axis=-1)
-        else:
-            N = np.stack([np.cos(ang[es]), np.sin(ang[es])], axis=-1)
-        W = np.linalg.pinv(N)                     # (2, n)
-        w_zonal[c, :n] = W[0]
-        w_merid[c, :n] = W[1]
+    # batched closed-form pseudo-inverse (was 40k tiny SVDs = 2.7 s of
+    # setup): for full-rank tall N, pinv(N) = (N^T N)^{-1} N^T — a 2x2
+    # solve per cell
+    j = np.arange(mE)[None, :]
+    valid = (j < nEoC[:, None]).astype(np.float64)    # (nC, mE)
+    if mesh.on_sphere:
+        nx = np.einsum("cmk,ck->cm", nvec3[eoc], ec) * valid
+        ny = np.einsum("cmk,ck->cm", nvec3[eoc], ncv) * valid
+    else:
+        nx = np.cos(ang[eoc]) * valid
+        ny = np.sin(ang[eoc]) * valid
+    g11 = np.sum(nx * nx, axis=1)
+    g12 = np.sum(nx * ny, axis=1)
+    g22 = np.sum(ny * ny, axis=1)
+    det = g11 * g22 - g12 * g12
+    w_zonal = (g22[:, None] * nx - g12[:, None] * ny) / det[:, None] * valid
+    w_merid = (g11[:, None] * ny - g12[:, None] * nx) / det[:, None] * valid
     return w_zonal, w_merid
 
 

@@ -75,6 +75,22 @@ class OcnConfig:
     config_min_diff_tanh: float = 1.0e-5
     config_tanh_zmid: float = -100.0
     config_tanh_zwidth: float = 100.0
+    # CVMix interior schemes (ref: mpas_ocn_vmix_cvmix.F namelists
+    # config_use_cvmix_shear / _tidal_mixing / _double_diffusion)
+    config_use_cvmix_convection: bool = True
+    config_use_cvmix_shear: bool = False
+    config_cvmix_shear_mixing_scheme: str = "KPP"   # LMD94 | "PP"
+    config_cvmix_shear_kpp_nu_zero: float = 5.0e-3
+    config_cvmix_shear_kpp_Ri_zero: float = 0.7
+    config_cvmix_shear_kpp_exp: float = 3.0
+    config_cvmix_shear_pp_nu_zero: float = 5.0e-3
+    config_use_cvmix_tidal_mixing: bool = False
+    config_cvmix_tidal_mixing_q: float = 0.33
+    config_cvmix_tidal_efficiency: float = 0.2
+    config_cvmix_tidal_vertical_decay_scale: float = 500.0
+    config_cvmix_tidal_energy_flux: float = 1.0e-3   # W/m2 column default
+    config_cvmix_tidal_max: float = 0.05
+    config_use_cvmix_double_diffusion: bool = False
     # GM / Redi mesoscale eddy parameterization (ref: mpas_ocn_gm.F +
     # tracer_hmix_Redi namelists)
     config_use_gm: bool = False

@@ -87,10 +87,23 @@ class TestRRTMG:
     def test_planck_band_fractions_sum_to_one(self):
         t = jnp.asarray([220.0, 260.0, 300.0])
         total = sum(
-            np.asarray(rrtmg._planck_band_fraction(t, nu1, nu2, n_quad=32))
-            for (nu1, nu2), _ in rrtmg.LW_BANDS)
-        # bands 10-3000 cm-1 capture nearly all terrestrial emission
+            np.asarray(rrtmg._planck_band_fraction(t, *band["nu"],
+                                                   n_quad=32))
+            for band in rrtmg._tables()["lw"])
+        # the 16 bands, 10-3250 cm-1, capture nearly all terrestrial
+        # emission (ref: module_ra_rrtmg_lw.F wavenum1/wavenum2 tables)
         assert np.all(total > 0.93) and np.all(total <= 1.005)
+
+    def test_band_structure_matches_reference(self):
+        tab = rrtmg._tables()
+        assert len(tab["lw"]) == 16 and len(tab["sw"]) == 14
+        assert sum(len(b["w"]) for b in tab["lw"]) == 140
+        assert sum(len(b["w"]) for b in tab["sw"]) == 112
+        assert tab["lw"][0]["nu"] == (10.0, 350.0)
+        assert tab["lw"][15]["nu"] == (2600.0, 3250.0)
+        # g-weights are a partition of unity per band
+        for b in tab["lw"] + tab["sw"]:
+            assert abs(float(np.sum(b["w"])) - 1.0) < 1e-12
 
     def test_lw_cooling_and_olr(self):
         t, p, rho, dz, qv, qc = _columns()

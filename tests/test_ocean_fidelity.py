@@ -1,0 +1,174 @@
+"""Ocean fidelity pass (round 4): full-sweep global stats, CVMix
+interior mixing schemes, and the interpolating global-ocean init.
+
+ref: mpas_ocn_global_stats.F (full-field sweep), mpas_ocn_vmix_cvmix.F
+(shear/tidal/double-diffusion interior schemes),
+mpas_ocn_init_global_ocean.F (gridded T/S/topography interpolation).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_tpu.cores.ocean.core import OcnConfig, run_steps
+
+
+@pytest.fixture(scope="module")
+def channel():
+    from mpas_tpu.cores.ocean.init_channel import init_baroclinic_channel
+    from mpas_tpu.mesh.planar import channel_hex_mesh
+    mesh = channel_hex_mesh(10, 32, 10000.0)
+    grid, state = init_baroclinic_channel(mesh, nz=12)
+    return grid, state
+
+
+class TestGlobalStatsSweep:
+    def test_every_state_field_swept(self, channel):
+        from mpas_tpu.cores.ocean.analysis.global_stats import GlobalStats
+        grid, state = channel
+        cfg = OcnConfig()
+        gs = GlobalStats()
+        out = gs.compute(grid, cfg, state)
+        # every non-None OcnState array field must appear with the full
+        # stats column set (the reference sweeps the whole pool)
+        for f in dataclasses.fields(state):
+            v = getattr(state, f.name)
+            if v is None or f.name == "tracers":
+                continue
+            for col in ("GlobalMin", "GlobalMax", "GlobalSum",
+                        "GlobalAvg", "GlobalRms"):
+                assert f"{f.name}{col}" in out, (f.name, col)
+        for nm in ("temperature", "salinity"):
+            assert f"{nm}GlobalAvg" in out
+            assert f"{nm}VertSumMax" in out
+        assert "CFLNumberGlobal" in out and out["CFLNumberGlobal"] >= 0
+        assert all(np.isfinite(v) for v in out.values())
+
+    def test_stats_values_sane(self, channel):
+        from mpas_tpu.cores.ocean.analysis.global_stats import GlobalStats
+        grid, state = channel
+        out = GlobalStats().compute(grid, OcnConfig(), state)
+        assert out["temperatureGlobalMin"] <= out["temperatureGlobalAvg"] \
+            <= out["temperatureGlobalMax"]
+        assert out["volumeCellGlobal"] > 0
+
+
+class TestCVMixInterior:
+    def _rho_stable(self, grid, state, cfg):
+        from mpas_tpu.cores.ocean.core import equation_of_state
+        return equation_of_state(cfg, state.tracers[..., 0],
+                                 state.tracers[..., 1])
+
+    def test_shear_lmd94_limits(self, channel):
+        from mpas_tpu.cores.ocean.vmix import coefs_cvmix_shear
+        grid, state = channel
+        cfg = OcnConfig(config_use_cvmix_shear=True)
+        rho = self._rho_stable(grid, state, cfg)
+        # strong shear -> near nu0; zero shear/stable -> ~0
+        u_sheared = jnp.asarray(state.u).at[:, 0].add(0.5)
+        visc, diff = coefs_cvmix_shear(grid, cfg, u_sheared,
+                                       state.layerThickness, rho)
+        assert float(jnp.max(visc)) <= cfg.config_cvmix_shear_kpp_nu_zero \
+            + 1e-12
+        assert float(jnp.max(visc)) > 0.5 * cfg.config_cvmix_shear_kpp_nu_zero
+        visc0, _ = coefs_cvmix_shear(grid, cfg, jnp.zeros_like(state.u),
+                                     state.layerThickness, rho)
+        assert float(jnp.max(visc0)) < 1e-6
+
+    def test_tidal_bottom_intensified(self, channel):
+        from mpas_tpu.cores.ocean.vmix import coefs_cvmix_tidal
+        grid, state = channel
+        cfg = OcnConfig(config_use_cvmix_tidal_mixing=True)
+        rho = self._rho_stable(grid, state, cfg)
+        visc, diff = coefs_cvmix_tidal(grid, cfg, state.u,
+                                       state.layerThickness, rho)
+        # deposition function decays upward from the bottom
+        d = np.asarray(diff)
+        assert np.all(d >= 0) and np.all(np.isfinite(d))
+        assert d[:, -1].mean() > d[:, 0].mean()
+
+    def test_double_diffusion_salt_fingering(self, channel):
+        from mpas_tpu.cores.ocean.vmix import coefs_cvmix_double_diffusion
+        grid, state = channel
+        cfg = OcnConfig()
+        # warm-salty over cold-fresh with alpha dT / beta dS in (1, 1.9)
+        nC, nz = state.layerThickness.shape
+        t = jnp.linspace(15.0, 5.0, nz)[None, :] * jnp.ones((nC, 1))
+        dT = t[:, :-1] - t[:, 1:]
+        # choose dS so R_rho = alpha dT / (beta dS) = 1.5
+        dS_val = cfg.config_eos_linear_alpha * float(dT[0, 0]) \
+            / (cfg.config_eos_linear_beta * 1.5)
+        s = 35.0 - dS_val * jnp.arange(nz)[None, :] * jnp.ones((nC, 1))
+        tr = jnp.stack([t, s], axis=-1)
+        kap = coefs_cvmix_double_diffusion(grid, cfg, tr,
+                                           state.layerThickness)
+        assert float(jnp.max(kap)) > 0.0
+        assert float(jnp.max(kap)) <= 1.0e-4 + 1e-12
+
+    def test_cvmix_combined_steps_stably(self, channel):
+        grid, state = channel
+        cfg = OcnConfig(config_dt=120.0,
+                        config_time_integrator="RK4",
+                        config_vert_mix_scheme="cvmix",
+                        config_use_cvmix_shear=True,
+                        config_use_cvmix_tidal_mixing=True,
+                        config_use_cvmix_double_diffusion=True)
+        out = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                        jax.tree.map(jnp.asarray, state), 3)
+        assert np.all(np.isfinite(np.asarray(out.layerThickness)))
+        assert np.all(np.isfinite(np.asarray(out.tracers)))
+
+
+class TestGlobalOceanInit:
+    def test_interpolating_init_runs(self):
+        from mpas_tpu.cores.ocean.init_global_ocean import (
+            init_global_ocean, synthetic_woa_dataset)
+        from mpas_tpu.mesh.sphere import icosahedral_mesh
+        mesh = icosahedral_mesh(8, lloyd_iters=1)
+        ds = synthetic_woa_dataset()
+        grid, state, forcing = init_global_ocean(mesh, ds, nz=16)
+        T = np.asarray(state.tracers[..., 0])
+        S = np.asarray(state.tracers[..., 1])
+        lat = np.asarray(grid.mesh.latCell)
+        # SST warm at equator, cold at poles; stratified columns
+        eq = np.abs(lat) < 0.3
+        po = np.abs(lat) > 1.2
+        assert T[eq, 0].mean() > T[po, 0].mean() + 10.0
+        # deep ocean columns are stably stratified (land/shelf columns
+        # have few active levels; compare surface vs deepest ACTIVE level)
+        # (polar columns are legitimately surface-cold — dataset SST < 2C)
+        mlc = np.asarray(grid.maxLevelCell)
+        deep = (mlc >= 12) & (np.abs(lat) < 1.0)
+        t_bot = T[np.arange(T.shape[0]), mlc - 1]
+        assert np.all(T[deep, 0] >= t_bot[deep] - 1e-9)
+        assert 33.0 < S.mean() < 36.5
+        # land columns produced shallow maxLevelCell
+        mlc = np.asarray(grid.maxLevelCell)
+        assert mlc.min() == 2 and mlc.max() > 8
+        cfg = OcnConfig(config_dt=300.0, config_time_integrator="RK4",
+                        config_mom_del2=1.0e4, config_tracer_del2=1.0e3)
+        out = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                        jax.tree.map(jnp.asarray, state), 2)
+        assert np.all(np.isfinite(np.asarray(out.layerThickness)))
+
+    def test_dataset_netcdf_round_trip(self, tmp_path):
+        # a gridded dataset written as netCDF4 loads back through
+        # load_dataset_netcdf (the real-file path)
+        from mpas_tpu.cores.ocean.init_global_ocean import (
+            load_dataset_netcdf, synthetic_woa_dataset)
+        from mpas_tpu.io.hdf5_write import write_hdf5
+        ds = synthetic_woa_dataset(nlat=12, nlon=24, ndep=8)
+        p = str(tmp_path / "woa.nc")
+        write_hdf5(p, {"lat": 12, "lon": 24, "depth": 8},
+                   {"lat": (("lat",), np.rad2deg(ds["lat"])),
+                    "lon": (("lon",), np.rad2deg(ds["lon"])),
+                    "depth": (("depth",), ds["depth"]),
+                    "t_an": (("depth", "lat", "lon"), ds["temperature"]),
+                    "s_an": (("depth", "lat", "lon"), ds["salinity"]),
+                    "z": (("lat", "lon"), ds["topography"])})
+        out = load_dataset_netcdf(p)
+        assert np.allclose(out["lat"], ds["lat"], atol=1e-12)
+        assert np.allclose(out["temperature"], ds["temperature"])
