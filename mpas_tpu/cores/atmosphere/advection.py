@@ -74,24 +74,37 @@ def advective_tendencies_cell(grid, fields):
     """
     mesh = grid.mesh
     ks = [p.shape[1] for p, _ in fields]
-    K = max(ks)
 
-    def padk(a):
-        return a if a.shape[1] == K else jnp.pad(a, ((0, 0), (0, K - a.shape[1])))
+    # ALL gather operands and intermediates stay flattened with every
+    # field's levels concatenated on the LANE axis (sum ks lanes). A
+    # rank-4/5 gather like F[cellsOnCell] with (3, nF, K) trailing dims
+    # lowers with a minor dim of 27 padded to 128 and an embedded
+    # transpose — measured 9.4 ms each on v5e, the single largest ops of
+    # the whole step. Flattened, the same gather moves (nC, mE, 3*sumK)
+    # with full lanes: ~6x less HBM.
+    psi = jnp.concatenate([p for p, _ in fields], axis=1)    # (nC, SK)
+    ru = jnp.concatenate([r for _, r in fields], axis=1)     # (nE, SK)
+    SK = psi.shape[1]
 
-    psi = jnp.stack([padk(p) for p, _ in fields], axis=1)    # (nC, nF, K)
-    ru = jnp.stack([padk(r) for _, r in fields], axis=1)     # (nE, nF, K)
-
-    g = psi[mesh.cellsOnCell]                                # (nC, mE, nF, K)
-    F = jnp.einsum("cmi,cifk->cmfk", grid.d2_bmat[:, :, 1:], g) \
-        + grid.d2_bmat[:, :, 0][:, :, None, None] * psi[:, None]
-    FN = F[mesh.cellsOnCell]                                 # (nC, mE, 3, nF, K)
-    d2own = jnp.einsum("cpm,cmfk->cpfk", grid.d2w_own, F)
-    d2opp = jnp.einsum("cpm,cpmfk->cpfk", grid.d2w_opp, FN)
-    ru_g = ru[mesh.edgesOnCell]                              # (nC, mE, nF, K)
-    upw = (grid.adv_beta * grid.adv_sside)[:, :, None, None]
+    g = psi[mesh.cellsOnCell]                                # (nC, mE, SK)
+    F = jnp.einsum("cmi,cik->cmk", grid.d2_bmat[:, :, 1:], g) \
+        + grid.d2_bmat[:, :, 0][:, :, None] * psi[:, None]   # (nC, 3, SK)
+    # opposite-cell derivatives: THREE rank-3 gathers of clean (nC, SK)
+    # slices instead of one rank-5 (nC, mE, 3, nF, K) gather — the
+    # rank-5 form lowers with a 27-lane minor dim padded to 128 and an
+    # embedded transpose (measured 9.4 ms each, the largest ops of the
+    # whole step)
+    d2own = jnp.einsum("cpm,cmk->cpk", grid.d2w_own, F)
+    d2opp = sum(grid.d2w_opp[:, :, m, None] * F[:, m][mesh.cellsOnCell]
+                for m in range(3))
+    ru_g = ru[mesh.edgesOnCell]                              # (nC, mE, SK)
+    upw = (grid.adv_beta * grid.adv_sside)[:, :, None]
     val = 0.5 * (psi[:, None] + g) + d2own + d2opp \
         + jnp.sign(ru_g) * upw * (d2own - d2opp)
-    wdiv = (mesh.edgeSignOnCell * grid.dv_cell)[:, :, None, None]
-    tend = -jnp.sum(wdiv * ru_g * val, axis=1)               # (nC, nF, K)
-    return [tend[:, i, :k] for i, k in enumerate(ks)]
+    wdiv = (mesh.edgeSignOnCell * grid.dv_cell)[:, :, None]
+    tend = -jnp.sum(wdiv * ru_g * val, axis=1)               # (nC, SK)
+    outs, o = [], 0
+    for k in ks:
+        outs.append(tend[:, o:o + k])
+        o += k
+    return outs

@@ -646,6 +646,10 @@ def _pair_gather(c1, c2, fields):
     if len(fields) == 1:
         f = fields[0]
         return [(f[c1], f[c2])]
+    dts = {f.dtype for f in fields}
+    assert len(dts) == 1, (
+        f"_pair_gather requires a uniform dtype (got {dts}); a mixed pack "
+        "would silently promote every gathered slice")
     ks = [f.shape[-1] for f in fields]
     cat = jnp.concatenate(fields, axis=-1)
     g1, g2 = cat[c1], cat[c2]
@@ -662,6 +666,9 @@ def _rows_gather(rows, fields):
     sliced back per field."""
     if len(fields) == 1:
         return [fields[0][rows]]
+    dts = {f.dtype for f in fields}
+    assert len(dts) == 1, (
+        f"_rows_gather requires a uniform dtype (got {dts})")
     ks = [f.shape[-1] for f in fields]
     cat = jnp.concatenate(fields, axis=-1)
     g = cat[rows]
@@ -881,12 +888,16 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     flux_t = flux_r * th_edge
     if not DBG["tsflux"]:
         flux_t = flux_t * 0.0
-    pair = jnp.stack([flux_r, flux_t], axis=-1)          # (nE, nz, 2)
-    g = pair[mesh.edgesOnCell]                           # (nC, mE, nz, 2)
-    sums = jnp.sum(mesh.edgeSignOnCell[..., None, None] * g, axis=1) \
-        * (dts * mesh.invAreaCell)[:, None, None]
-    rs_flux = -sums[..., 0]
-    ts_flux = -sums[..., 1]
+    # NOTE(perf, measured): two SEPARATE clean (nE, nz) gathers. The
+    # lane-concat pack (nE, 2nz) costs cross-lane shuffles (acoustic 4x
+    # slower) and the (nE, nz, 2) stack-gather drags a 2-wide minor dim
+    # through the gather and the reduction (2 ms per multiply_reduce in
+    # the trace); per-row gather cost is flat up to 128 lanes, so two
+    # single-tile-row gathers are the cheapest shape
+    sgn = mesh.edgeSignOnCell[..., None]
+    coefc = (dts * mesh.invAreaCell)[:, None]
+    rs_flux = -jnp.sum(sgn * flux_r[mesh.edgesOnCell], axis=1) * coefc
+    ts_flux = -jnp.sum(sgn * flux_t[mesh.edgesOnCell], axis=1) * coefc
 
     from mpas_tpu.kernels import acoustic_kernel_enabled
     if acoustic_kernel_enabled(nz):

@@ -11,17 +11,41 @@ than rain mass, sharpening drizzle vs. rain separation).
 
 This implementation keeps WSM6's process graph (wsm6.py) and upgrades the
 rain/ice closures to two-moment: gamma-distribution mean sizes, separate
-mass/number fall speeds, number sources/sinks for each process. Spectral
-lookup tables of the reference are closed with the published power laws.
+mass/number fall speeds, number sources/sinks for each process. The
+size-distribution integrals (mass/number-weighted fall speeds,
+evaporation ventilation, cloud accretion kernel, Bigg freezing) come
+from VENDORED LOOKUP TABLES (physics/data/thompson_k.npz) built offline
+by numerical integration over the exponential DSD with the Thompson
+power-law fall speeds — the analogue of the reference's init-time table
+builds (ref: mpas_atmphys_build_tables_thompson.F:1-145,
+module_mp_thompson.F qr_acr_qg/freezeH2O tables); interpolated at
+runtime on the log mean-volume-diameter grid.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax.numpy as jnp
+import numpy as np
 
 from mpas_tpu.constants import cp
 from mpas_tpu.cores.atmosphere.physics.wsm6 import (_qsat_ice, _qsat_liq,
                                                     _sediment)
+
+
+@functools.cache
+def _tables():
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "thompson_k.npz")
+    return {k: np.asarray(v) for k, v in np.load(path).items()}
+
+
+def _interp_log(x, xg, yg):
+    """Interpolate y(x) on a log-spaced grid xg (clipped at the ends)."""
+    lx = jnp.log(jnp.clip(x, float(xg[0]), float(xg[-1])))
+    return jnp.interp(lx, jnp.asarray(np.log(xg)), jnp.asarray(yg))
 
 _LV = 2.5e6
 _LF = 3.34e5
@@ -92,19 +116,26 @@ def thompson(th, qv, qc, qr, qi, qs, qg, nr, ni, rho, exner, p, dz, dt):
     m_drop50 = jnp.pi / 6.0 * RHO_W * (50.0e-6) ** 3
     nraut = praut * rho / m_drop50 / rho
 
+    tab = _tables()
     d_r = _rain_diameter(qr, nr, rho)
-    pracw = jnp.minimum(dt * 67.0 * (d_r * 1e3) ** 0.9 * qc
-                        * jnp.maximum(qr, 0.0) ** 0.5, qc - praut)
+    # cloud accretion by rain: number-normalized swept-volume kernel from
+    # the DSD integral table x rain number (ref: the qr_acr_qc moment of
+    # module_mp_thompson.F; table acc_rain)
+    acc_k = _interp_log(d_r, tab["d_rain"], tab["acc_rain"])   # m3/s per drop
+    pracw = jnp.minimum(dt * acc_k * rho * jnp.clip(nr, NR_MIN, NR_MAX)
+                        * qc, jnp.maximum(qc - praut, 0.0))
     pracw = jnp.maximum(pracw, 0.0)
     qc = qc - praut - pracw
     qr = qr + praut + pracw
     nr = nr + nraut
 
-    # rain evaporation (ventilation grows with small drops: n-weighted)
+    # rain evaporation: ventilation DSD integral from the table (the
+    # reference's tpi ventilation moments)
     qsl = _qsat_liq(t, p)
     sub = jnp.maximum(1.0 - qv / jnp.maximum(qsl, 1e-12), 0.0)
-    vent = 0.78 + 0.31 * (d_r / 1.0e-3) ** 0.5
-    prevp = jnp.minimum(dt * 1.2e-3 * sub * vent
+    vent = _interp_log(d_r, tab["d_rain"], tab["vent_rain"]) \
+        / jnp.maximum(d_r, 1e-6)
+    prevp = jnp.minimum(dt * 1.0e-3 * sub * vent * 2.0e-3
                         * (rho * jnp.maximum(qr, 0.0)) ** 0.65, qr)
     qr = qr - prevp
     qv = qv + prevp
@@ -129,7 +160,14 @@ def thompson(th, qv, qc, qr, qi, qs, qg, nr, ni, rho, exner, p, dz, dt):
     qg = qg + to_g
     t = t + _LF / cp * psacw
 
-    pgfrz = jnp.where(t < _T0 - 4.0, jnp.minimum(dt * 0.02 * qr, qr), 0.0)
+    # Bigg immersion freezing from the tabulated supercooling integral
+    # (ref: the freezeH2O table build, module_mp_thompson.F)
+    bigg = jnp.interp(jnp.clip(_T0 - t, 0.0, 40.0),
+                      jnp.asarray(tab["dT_freeze"]),
+                      jnp.asarray(tab["bigg_rate"]))
+    d_r3 = d_r ** 3
+    pgfrz = jnp.where(t < _T0, jnp.minimum(dt * bigg * d_r3
+                                           * rho * qr * 1.0e6, qr), 0.0)
     nr = nr * (1.0 - pgfrz / jnp.maximum(qr, 1e-12))
     qr = qr - pgfrz
     qg = qg + pgfrz
@@ -152,20 +190,22 @@ def thompson(th, qv, qc, qr, qi, qs, qg, nr, ni, rho, exner, p, dz, dt):
     qc = qc + pimlt
     t = t - _LF / cp * pimlt
 
-    # --- sedimentation: mass and number fall at different speeds ---------
+    # --- sedimentation: mass- and number-weighted DSD fall speeds from
+    # the tables (ref: the sedimentation moments of module_mp_thompson.F)
     d_r = _rain_diameter(qr, nr, rho)
-    vr_m = jnp.minimum(4854.0 * d_r ** 1.0 * jnp.exp(-195.0 * d_r), 9.0)
-    vr_n = 0.7 * vr_m                            # number falls slower
+    vr_m = _interp_log(d_r, tab["d_rain"], tab["vr_mass"])
+    vr_n = _interp_log(d_r, tab["d_rain"], tab["vr_num"])
     d_i = _ice_diameter(qi, ni, rho)
-    vi_m = jnp.minimum(700.0 * d_i, 1.2)
+    vi_m = _interp_log(d_i, tab["d_ice"], tab["vi_mass"])
     vs = jnp.minimum(11.72 * (rho * jnp.maximum(qs, 0.0)) ** 0.25 * 0.1,
                      2.5)
     vg = jnp.minimum(19.3 * (rho * jnp.maximum(qg, 0.0)) ** 0.37 * 0.1,
                      5.0)
+    vi_n = _interp_log(d_i, tab["d_ice"], tab["vi_num"])
     qr, rain = _sediment(qr, rho, dz, vr_m, dt)
     nr, _ = _sediment(nr, rho, dz, vr_n, dt)
     qi, ice_sfc = _sediment(qi, rho, dz, vi_m, dt)
-    ni, _ = _sediment(ni, rho, dz, 0.7 * vi_m, dt)
+    ni, _ = _sediment(ni, rho, dz, vi_n, dt)
     qs, snow = _sediment(qs, rho, dz, vs, dt)
     qg, graup = _sediment(qg, rho, dz, vg, dt)
 

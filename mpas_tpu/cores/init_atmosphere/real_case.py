@@ -59,11 +59,18 @@ def _interp_levels(fields, name, lat_deg, lon_deg):
     return levels, vals
 
 
-def _interp_surface(fields, name, lat_deg, lon_deg, default=None):
+_REQUIRED = object()
+
+
+def _interp_surface(fields, name, lat_deg, lon_deg, default=_REQUIRED):
+    """default=None returns None when the field is absent (optional
+    fields: soil layers, SST, SEAICE); omitting default raises."""
     slab = surface_field(fields, name)
     if slab is None:
-        if default is None:
+        if default is _REQUIRED:
             raise ValueError(f"met file lacks surface field {name!r}")
+        if default is None:
+            return None
         return np.full(lat_deg.shape, default)
     meta = next(f for f in fields if f.field == name and f.xlvl >= 2.0e5)
     i, j = _latlon_ij(meta, lat_deg, lon_deg)
@@ -133,6 +140,14 @@ def init_real(mesh, cfg: AtmConfig, met_fields, zt: float = 30000.0,
     from mpas_tpu.cores.init_atmosphere.vinterp import vertical_interp
     t_full = vertical_interp(zmid, ght_cols, theta_cols)
     qv = np.maximum(vertical_interp(zmid, ght_cols, q_cols), 0.0)
+    # relative humidity on model levels, for the moisture rebalance below
+    t_abs0 = vertical_interp(zmid, ght_cols, t_cols)
+    es0 = 611.2 * np.exp(17.67 * (t_abs0 - 273.15) / (t_abs0 - 29.65))
+    p_guess = np.exp(vertical_interp(zmid, ght_cols,
+                                     np.log(plev)[None, :]
+                                     * np.ones_like(ght_cols)))
+    rh_model = np.clip(qv * np.maximum(p_guess - es0, 100.0)
+                       / (0.622 * es0), 0.0, 1.0)
     theta_m = t_full * (1.0 + rvord * qv)
 
     # edge winds -> normal velocity
@@ -160,6 +175,21 @@ def init_real(mesh, cfg: AtmConfig, met_fields, zt: float = 30000.0,
                 / (cp * 0.5 * (theta[:, k - 1] + theta[:, k])
                    * 0.5 * (zz[:, k - 1] + zz[:, k]))
         return pi
+
+    # ---- iterative moisture/hydrostatic rebalance (ref: the
+    # 'iterations to converge temperature as a function of pressure'
+    # loop of mpas_init_atm_cases.F:860 genre applied to the GFS case):
+    # the column pressure depends on theta_m, and qv depends on the
+    # model-level pressure through RH — iterate both to a joint fixed
+    # point so moisture and mass are hydrostatically consistent.
+    for _ in range(10):
+        p = pi_columns(theta_m)
+        p_model = p0 * p ** (cp / rgas)
+        t_abs = t_full * p
+        es = 611.2 * np.exp(17.67 * (t_abs - 273.15) / (t_abs - 29.65))
+        qv = np.clip(rh_model * 0.622 * es
+                     / np.maximum(p_model - es, 100.0), 0.0, 0.04)
+        theta_m = t_full * (1.0 + rvord * qv)
 
     # base state: dry isothermal-lapse reference column (t_init genre)
     tb = np.broadcast_to(t_full.mean(axis=0)[None, :], t_full.shape).copy()
@@ -225,4 +255,91 @@ def init_real(mesh, cfg: AtmConfig, met_fields, zt: float = 30000.0,
                    ruAvg=r(np.zeros_like(ru)),
                    wwAvg=r(np.zeros((nC, nz))))
     extras = {"skintemp": tsk, "psfc": psfc, "ter": ter}
+    extras.update(init_soil_layers(met_fields, lat_c, lon_c, tsk))
+    extras.update(init_sst_seaice(met_fields, lat_c, lon_c, tsk))
     return grid, state, diag, extras
+
+
+# first-guess soil layer names and their (top_cm, bottom_cm) extents —
+# GFS (0-10/10-40/40-100/100-200) and ECMWF (0-7/7-28/28-100/100-255)
+# conventions, exactly the field list the reference accepts
+# (ref: mpas_init_atm_cases.F:3409-3456)
+_SOIL_LAYERS = {
+    "000010": (0.0, 10.0), "010040": (10.0, 40.0),
+    "040100": (40.0, 100.0), "100200": (100.0, 200.0),
+    "010200": (10.0, 200.0),
+    "000007": (0.0, 7.0), "007028": (7.0, 28.0),
+    "028100": (28.0, 100.0), "100255": (100.0, 255.0),
+    "100289": (100.0, 289.0),
+}
+# Noah layer extents (cm): 0-10, 10-40, 40-100, 100-200
+NOAH_LAYERS = ((0.0, 10.0), (10.0, 40.0), (40.0, 100.0), (100.0, 200.0))
+
+
+def init_soil_layers(met_fields, lat_deg, lon_deg, tsk):
+    """Interpolate first-guess soil temperature/moisture layers onto the
+    Noah 4-layer grid by depth-overlap weighting (ref: the
+    ST*/SM* blocks of mpas_init_atm_cases.F:3409-3456 + the vertical
+    soil blending of the physics init). Missing layers fall back to
+    skin temperature / 0.2 volumetric moisture."""
+    nC = lat_deg.shape[0]
+    found_t, found_m = [], []
+    for code, (za, zb) in _SOIL_LAYERS.items():
+        st = _interp_surface(met_fields, f"ST{code}", lat_deg, lon_deg,
+                             default=None)
+        if st is not None:
+            found_t.append((za, zb, st))
+        sm = _interp_surface(met_fields, f"SM{code}", lat_deg, lon_deg,
+                             default=None)
+        if sm is not None:
+            found_m.append((za, zb, sm))
+
+    def blend(found, default):
+        out = np.empty((nC, len(NOAH_LAYERS)))
+        for k, (na, nb) in enumerate(NOAH_LAYERS):
+            wsum = np.zeros(nC)
+            acc = np.zeros(nC)
+            for (za, zb, v) in found:
+                ov = max(0.0, min(nb, zb) - max(na, za))
+                if ov > 0:
+                    acc += ov * v
+                    wsum += ov
+            out[:, k] = np.where(wsum > 0, acc / np.maximum(wsum, 1e-9),
+                                 default)
+        return out
+    tslb = blend(found_t, np.asarray(tsk))
+    smois = blend(found_m, 0.2)
+    return {"tslb": tslb, "smois": np.clip(smois, 0.02, 0.48)}
+
+
+def init_sst_seaice(met_fields, lat_deg, lon_deg, tsk):
+    """SST and fractional sea ice (ref: mpas_init_atm_cases.F:4270-4330:
+    SST falls back to SKINTEMP when absent; SEAICE clamped to [0,1] and
+    thresholded into the xice mask)."""
+    sst = _interp_surface(met_fields, "SST", lat_deg, lon_deg,
+                          default=None)
+    if sst is None:
+        sst = np.asarray(tsk).copy()
+    xice = _interp_surface(met_fields, "SEAICE", lat_deg, lon_deg,
+                           default=0.0)
+    xice = np.clip(xice, 0.0, 1.0)
+    return {"sst": sst, "xice": xice,
+            "seaice_mask": (xice >= 0.5).astype(np.float64)}
+
+
+def build_sfc_update(mesh, met_fields):
+    """Surface-update stream contents (init case 8: SST/seaice update
+    files consumed by the model's surface stream during long runs;
+    ref: init_atm_case_sfc, mpas_init_atm_cases.F:266-276). Returns the
+    dict of (dims, variables) for framework.streams to write."""
+    lat_c = np.degrees(np.asarray(mesh.latCell))
+    lon_c = np.degrees(np.asarray(mesh.lonCell))
+    tsk = _interp_surface(met_fields, "SKINTEMP", lat_c, lon_c,
+                          default=288.0)
+    out = init_sst_seaice(met_fields, lat_c, lon_c, tsk)
+    dims = {"nCells": mesh.nCells, "Time": None}
+    variables = {
+        "sst": (("Time", "nCells"), out["sst"][None]),
+        "xice": (("Time", "nCells"), out["xice"][None]),
+    }
+    return dims, variables

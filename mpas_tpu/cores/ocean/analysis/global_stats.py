@@ -76,6 +76,8 @@ class GlobalStats:
 
         # --- derived diagnostics (ref stats: ssh, KE, density, CFL) ------
         out["volumeCellGlobal"] = total_vol
+        # reference field names for the prognostics (Registry names)
+        out["normalVelocityGlobalMax"] = jnp.max(jnp.abs(state.u))
         ssh = jnp.sum(h, axis=-1) - grid.bottomDepth
         self._field_stats(out, "ssh", ssh, m.areaCell, total_area)
         ke = jnp.sum(m.keW[..., None] * (state.u * state.u)[m.edgesOnCell],

@@ -350,17 +350,18 @@ class IceShelves:
     cells flagged by a land-ice mask (ref:
     mpas_seaice_ice_shelves.F:223-322, iceAreaOverIceShelves). The
     reference mask arrives from the ocean coupler (landIceMask in the
-    ocean_coupling pool); standalone runs here take an explicit mask, or
-    default to the sub-60S band on spherical meshes (zero on planar —
-    no cavities)."""
+    ocean_coupling pool); standalone runs here take an explicit mask.
+    Without one the member reports ZERO (matching the reference when no
+    coupler supplies landIceMask) rather than mislabeling all Southern
+    Ocean ice as shelf-cavity ice — pass land_ice_mask explicitly to
+    activate the diagnostic."""
 
     def __init__(self, land_ice_mask: Any | None = None):
         self._mask = land_ice_mask
 
     def init(self, grid, cfg):
         if self._mask is None:
-            lat = np.asarray(grid.mesh.latCell)
-            self._mask = (lat < np.deg2rad(-60.0)).astype(float)
+            self._mask = np.zeros(grid.mesh.nCells)
         self._mask = jnp.asarray(self._mask)
 
     def compute(self, grid, cfg, state):

@@ -268,6 +268,14 @@ def _tracer_packages_step(cfg: SeaiceConfig, state: SeaiceState,
         upd["brineHeight"] = brine_height_update(
             state.brineHeight, h_i, h_s, cfg.rho_ice, cfg.rho_snow,
             cfg.rho_seawater, dt, puny=cfg.puny)
+    if cfg.config_use_zsalinity and state.iceSalinity is not None:
+        from mpas_tpu.cores.seaice.zsalinity import zsalinity_step
+        sss = (forcing.seaSurfaceSalinity
+               if getattr(forcing, "seaSurfaceSalinity", None) is not None
+               else jnp.full(a.shape[0], 34.0, dtype=a.dtype))
+        S2, _fzsal = zsalinity_step(cfg, state.iceSalinity, h_i,
+                                    growth_b, melt_s + melt_i, sss, dt)
+        upd["iceSalinity"] = S2
     if cfg.config_use_algae and state.algaeIce is not None:
         from mpas_tpu.cores.seaice.bgc import algae_step
         sw_thru = forcing.shortwaveDown[:, None] * jnp.exp(

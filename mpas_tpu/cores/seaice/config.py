@@ -56,6 +56,9 @@ class SeaiceConfig:
     config_use_ice_age: bool = False
     config_use_first_year_ice: bool = False
     config_use_brine: bool = False
+    # prognostic vertical salinity (ref: config_use_zsalinity +
+    # ice_zsalinity.F90; gravity drainage per ice_therm_mushy.F90)
+    config_use_zsalinity: bool = False
     config_use_algae: bool = False
     config_use_snow_metamorphism: bool = False
     # mixed-layer nutrient boundary conditions for the algae package

@@ -49,7 +49,8 @@ _CELL_STATE = ("iceAreaCategory", "iceVolumeCategory",
                "snowEnthalpy", "pondArea", "pondDepth", "pondLid",
                "levelIceArea", "levelIceVolume", "iceAge",
                "firstYearArea", "brineHeight", "algaeIce", "nitrateIce",
-               "silicateIce", "snowGrainRadius", "snowDensity")
+               "silicateIce", "snowGrainRadius", "snowDensity",
+               "iceSalinity")
 _VERTEX_STATE = ("uVelocity", "vVelocity")
 _VERTEX_FORCING = ("sshGradientU", "sshGradientV")
 

@@ -76,6 +76,9 @@ class SeaiceState:
     firstYearArea: Any = None
     # BGC (ice_brine.F90 / ice_algae.F90)
     brineHeight: Any = None   # (nCells, nCat) m from the ice bottom
+    # prognostic per-layer bulk salinity (ref: the zsalinity/mushy
+    # salinity tracers, ice_zsalinity.F90 / ice_therm_mushy.F90)
+    iceSalinity: Any = None   # (nCells, nCat, nIceLayers) psu
     algaeIce: Any = None      # (nCells, nCat) mmol N/m2 skeletal layer
     nitrateIce: Any = None
     silicateIce: Any = None

@@ -77,12 +77,25 @@ def apply_permutations(mesh: Mesh, pc, pe, pv) -> Mesh:
     order_e = np.argsort(pe, kind="stable")
     order_v = np.argsort(pv, kind="stable")
     updates = {}
+    classified = _CELL_ROW | _EDGE_ROW | _VERTEX_ROW
     for f in dataclasses.fields(mesh):
         name = f.name
         row = (order_c if name in _CELL_ROW else
                order_e if name in _EDGE_ROW else
                order_v if name in _VERTEX_ROW else None)
         if row is None:
+            # coverage guard: any per-entity array field MUST be in one of
+            # the row sets or it would silently keep the old ordering —
+            # fail loudly on unclassified fields instead
+            v = getattr(mesh, name)
+            if isinstance(v, np.ndarray) or hasattr(v, "shape"):
+                n0 = np.shape(v)[0] if np.ndim(v) > 0 else None
+                if n0 in (mesh.nCells, mesh.nEdges, mesh.nVertices) \
+                        and name not in classified:
+                    raise AssertionError(
+                        f"Mesh field {name!r} has a per-entity leading "
+                        "axis but is not classified in reorder.py's "
+                        "_CELL_ROW/_EDGE_ROW/_VERTEX_ROW sets")
             continue
         a = np.asarray(getattr(mesh, name))
         dt = a.dtype

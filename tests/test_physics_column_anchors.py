@@ -130,3 +130,53 @@ class TestConvectionAnchors:
         assert c0 > 500.0                      # the sounding is convective
         assert float(cape[0]) < 0.6 * c0, (c0, float(cape[0]))
         assert rain_tot > 0.0
+
+
+class TestThompsonTableAnchors:
+    """Anchors for the vendored Thompson DSD-integral tables
+    (tools/gen_thompson_tables.py; ref: the reference's init-time table
+    builds, mpas_atmphys_build_tables_thompson.F)."""
+
+    def test_marshall_palmer_fall_speed(self):
+        """For a Marshall-Palmer rain DSD at ~1 g/m3 (mean-volume
+        diameter ~1 mm) the mass-weighted fall speed is 5-7 m/s and the
+        number-weighted speed is substantially slower (Atlas et al. 1973
+        genre)."""
+        from mpas_tpu.cores.atmosphere.physics.thompson import (_interp_log,
+                                                                _tables)
+        tab = _tables()
+        vm = float(_interp_log(jnp.asarray(1.0e-3), tab["d_rain"],
+                               tab["vr_mass"]))
+        vn = float(_interp_log(jnp.asarray(1.0e-3), tab["d_rain"],
+                               tab["vr_num"]))
+        assert 4.5 < vm < 7.5, vm
+        assert vn < 0.75 * vm, (vn, vm)
+
+    def test_fall_speed_monotone_in_size(self):
+        from mpas_tpu.cores.atmosphere.physics.thompson import _tables
+        tab = _tables()
+        # monotone through the meteorological range; beyond ~3 mm the
+        # Thompson v(D) = a D e^(-fD) correctly rolls off
+        upto = np.searchsorted(tab["d_rain"], 2.5e-3)
+        assert np.all(np.diff(tab["vr_mass"][:upto]) >= -1e-9)
+        assert np.all(np.diff(tab["vi_mass"]) >= -1e-9)
+        # drizzle (100 um) falls < 2 m/s
+        i = np.searchsorted(tab["d_rain"], 100e-6)
+        assert tab["vr_mass"][i] < 2.0
+
+    def test_bigg_freezing_doubles_per_degree(self):
+        """Bigg (1953): freezing rate ~ exp(0.66 dT) — e-folding every
+        ~1.5 K of supercooling."""
+        from mpas_tpu.cores.atmosphere.physics.thompson import _tables
+        tab = _tables()
+        r = tab["bigg_rate"]
+        dT = tab["dT_freeze"]
+        i10 = np.searchsorted(dT, 10.0)
+        i11 = np.searchsorted(dT, 11.0)
+        ratio = r[i11] / max(r[i10], 1e-30)
+        assert 1.7 < ratio < 2.2, ratio
+
+    def test_ventilation_increases_with_size(self):
+        from mpas_tpu.cores.atmosphere.physics.thompson import _tables
+        tab = _tables()
+        assert np.all(np.diff(tab["vent_rain"]) >= -1e-12)

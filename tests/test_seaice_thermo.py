@@ -216,3 +216,135 @@ def test_column_step_dispatch_multilayer():
     # growth under cold forcing
     assert (np.sum(np.asarray(out.iceVolumeCategory))
             > np.sum(np.asarray(state.iceVolumeCategory)) - 1e-9)
+
+
+class TestZSalinityAndOrbital:
+    """Prognostic vertical salinity (ref: ice_zsalinity.F90 +
+    ice_therm_mushy.F90 gravity drainage) and orbital coszen
+    (ref: ice_orbital.F90:35-96)."""
+
+    def _setup(self, nC=6, nCat=3, nilyr=7):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.zsalinity import stable_profile
+        S0 = jnp.broadcast_to(
+            jnp.asarray(stable_profile(nilyr) + 6.0),
+            (nC, nCat, nilyr))            # salty young-ice profile
+        h = jnp.full((nC, nCat), 1.0)
+        return S0, h
+
+    def test_gravity_drainage_desalinates_toward_stable(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.zsalinity import (stable_profile,
+                                                     zsalinity_step)
+        cfg = SeaiceConfig()
+        S0, h = self._setup()
+        sss = jnp.full(S0.shape[0], 34.0)
+        S = S0
+        for _ in range(50):
+            S, fz = zsalinity_step(cfg, S, h, jnp.zeros_like(h),
+                                   jnp.zeros_like(h), sss, 3600.0)
+        # salinity decreased everywhere toward the stable shape
+        assert float(jnp.max(S)) < float(jnp.max(S0))
+        tgt = stable_profile(S.shape[-1])
+        err0 = float(jnp.mean(jnp.abs(S0 - tgt[None, None])))
+        err1 = float(jnp.mean(jnp.abs(S - tgt[None, None])))
+        assert err1 < err0
+        assert np.all(np.asarray(fz) >= 0.0)
+
+    def test_salt_conservation_flux_matches_column_loss(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.zsalinity import zsalinity_step
+        cfg = SeaiceConfig()
+        S0, h = self._setup()
+        sss = jnp.full(S0.shape[0], 34.0)
+        S1, fz = zsalinity_step(cfg, S0, h, jnp.zeros_like(h),
+                                jnp.zeros_like(h), sss, 3600.0)
+        nilyr = S0.shape[-1]
+        layer_h = h[..., None] / nilyr
+        lost = cfg.rho_ice * jnp.sum(layer_h * (S0 - S1),
+                                     axis=(-1, -2)) / 1000.0
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(fz), np.asarray(lost),
+                                   rtol=1e-10)
+
+    def test_growth_entrapment_raises_bottom_salinity(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.zsalinity import (KEFF_GROWTH,
+                                                     zsalinity_step)
+        cfg = SeaiceConfig()
+        S0, h = self._setup()
+        S0 = S0 * 0.0 + 2.0                      # old fresh ice
+        sss = jnp.full(S0.shape[0], 34.0)
+        grow = jnp.full(h.shape, 2.0e-6)         # ~17 cm/day growth
+        S1, _ = zsalinity_step(cfg, S0, h, grow, jnp.zeros_like(h),
+                               sss, 3600.0)
+        assert float(S1[..., -1].mean()) > float(S0[..., -1].mean())
+        assert float(S1.max()) <= KEFF_GROWTH * 34.0 + 1e-6
+
+    def test_flushing_desalinates_under_melt(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.zsalinity import zsalinity_step
+        cfg = SeaiceConfig()
+        S0, h = self._setup()
+        sss = jnp.full(S0.shape[0], 34.0)
+        no_melt, _ = zsalinity_step(cfg, S0, h, jnp.zeros_like(h),
+                                    jnp.zeros_like(h), sss, 3600.0)
+        melt, _ = zsalinity_step(cfg, S0, h, jnp.zeros_like(h),
+                                 jnp.full(h.shape, 0.05), sss, 3600.0)
+        assert float(melt.mean()) < float(no_melt.mean())
+
+    def test_coszen_geometry(self):
+        """Noon overhead sun at the subsolar latitude; polar night in
+        winter; value range [-1, 1] (ref: compute_coszen)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from mpas_tpu.cores.seaice.orbital import (compute_coszen,
+                                                   solar_declination)
+        # June solstice (~day 172): declination ~ +23.4 deg
+        d = float(solar_declination(172.0))
+        assert abs(np.degrees(d) - 23.44) < 1.0
+        # December solstice: ~ -23.4
+        d2 = float(solar_declination(355.0))
+        assert abs(np.degrees(d2) + 23.44) < 1.5
+        # noon UTC at lon=0: hour angle 0; lat = decl -> coszen ~ 1
+        cz = float(compute_coszen(jnp.asarray(d), jnp.asarray(0.0),
+                                  172.0, 43200.0))
+        assert cz > 0.995
+        # polar night: 80N in December, any hour
+        for sec in (0.0, 21600.0, 43200.0, 64800.0):
+            cz = float(compute_coszen(jnp.deg2rad(80.0), jnp.asarray(0.0),
+                                      355.0, sec))
+            assert cz < 0.0
+
+    def test_column_step_with_zsalinity(self):
+        """Full column step evolves iceSalinity when enabled."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.core import run_steps
+        from mpas_tpu.cores.seaice.init_square import init_square
+        from mpas_tpu.cores.seaice.zsalinity import stable_profile
+        from mpas_tpu.mesh.planar import box_hex_mesh
+        m = box_hex_mesh(6, 6, 20000.0)
+        cfg = SeaiceConfig(config_dt=600.0, config_use_zsalinity=True,
+                           config_n_ice_layers=7)
+        grid, state, forcing = init_square(m, cfg)
+        nCat = state.iceAreaCategory.shape[-1]
+        S0 = jnp.broadcast_to(
+            jnp.asarray(stable_profile(7) + 4.0),
+            (m.nCells, nCat, 7))
+        state = state.replace(iceSalinity=S0)
+        out = run_steps(jax.tree.map(jnp.asarray, grid), cfg,
+                        jax.tree.map(jnp.asarray, state),
+                        jax.tree.map(jnp.asarray, forcing), 3)
+        S = np.asarray(out.iceSalinity)
+        assert np.all(np.isfinite(S))
+        assert S.min() >= 0.1 - 1e-9
+        assert not np.allclose(S, np.asarray(S0))
