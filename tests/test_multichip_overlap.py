@@ -118,14 +118,13 @@ def test_collective_permute_overlaps_compute():
     lines = txt.splitlines()
     start_ids = {}
     overlap_found = 0
-    pat_start = re.compile(r"(%?[\w.\-]+)\s*=\s*.*collective-permute-start")
-    pat_done = re.compile(r"collective-permute-done.*?\(([^),]+)")
-    compute_pat = re.compile(r"= \S*fusion|\badd\(|\bmultiply\(")
+    # NOTE: a done line CONTAINS the start's name as its operand, so the
+    # done pattern must be checked first
+    pat_done = re.compile(r"collective-permute-done\((%[\w.\-]+)\)")
+    pat_start = re.compile(
+        r"(%?[\w.\-]+)\s*=\s*.*\bcollective-permute-start\(")
+    compute_pat = re.compile(r"= \S*fusion\.|_fusion")
     for i, ln in enumerate(lines):
-        ms = pat_start.search(ln)
-        if ms:
-            start_ids[ms.group(1).strip("% ")] = i
-            continue
         md = pat_done.search(ln)
         if md:
             src = md.group(1).strip("% ")
@@ -134,6 +133,10 @@ def test_collective_permute_overlaps_compute():
                 between = "\n".join(lines[j + 1:i])
                 if compute_pat.search(between):
                     overlap_found += 1
+            continue
+        ms = pat_start.search(ln)
+        if ms:
+            start_ids[ms.group(1).strip("% ")] = i
     assert overlap_found > 0, (
         "no compute scheduled between any collective-permute start/done "
         "pair — exchanges are not overlapped")
