@@ -34,22 +34,23 @@ class TestRRTMGClassAnchors:
         """Anchor: clear-sky OLR of the tropical standard atmosphere is
         288-290 W/m2 in the LBLRTM/RRTMG intercomparisons (Mlawer et al.
         1997, AER benchmark cases; ICRCCM tropical clear-sky ~288).
-        '-class' tolerance: +-6%."""
+        Round-4 tolerance +-4% (the 16-band
+        scheme with H2O self-continuum lands at ~298)."""
         from mpas_tpu.cores.atmosphere.physics.rrtmg import rrtmg_lw
         z, t, p, rho, dz, qv = _tropical_sounding()
         _, glw, olr = rrtmg_lw(_J(t), _J(qv), _J(np.zeros_like(qv)),
                                _J(rho), _J(dz), jnp.asarray([300.0]))
-        assert 271.0 < float(olr[0]) < 306.0, float(olr[0])
+        assert 278.0 < float(olr[0]) < 301.0, float(olr[0])
 
     def test_tropical_surface_downward_lw(self):
         """Anchor: tropical clear-sky surface downwelling LW ~= 390-400
-        W/m2 (ICRCCM/BSRN tropical clear-sky climatology). '-class'
-        tolerance: +-10%."""
+        W/m2 (ICRCCM/BSRN tropical clear-sky climatology). Round-4
+        tolerance +-7% (the scheme lands at ~422)."""
         from mpas_tpu.cores.atmosphere.physics.rrtmg import rrtmg_lw
         z, t, p, rho, dz, qv = _tropical_sounding()
         _, glw, _ = rrtmg_lw(_J(t), _J(qv), _J(np.zeros_like(qv)),
                              _J(rho), _J(dz), jnp.asarray([300.0]))
-        assert 351.0 < float(glw[0]) < 440.0, float(glw[0])
+        assert 368.0 < float(glw[0]) < 437.0, float(glw[0])
 
     def test_tropospheric_lw_cooling_rate(self):
         """Anchor: clear-sky tropical LW cooling ~= 1.5-2.2 K/day through
@@ -72,7 +73,7 @@ class TestRRTMGClassAnchors:
         tend, gsw = rrtmg_sw(_J(qv), _J(np.zeros_like(qv)), _J(rho),
                              _J(dz), jnp.asarray([1.0]), 0.2)
         col = float(np.sum(np.asarray(tend)[0] * 1004.5 * rho * dz))
-        assert 230.0 < col < 330.0, col
+        assert 230.0 < col < 300.0, col
         # surface global irradiance (absorbed/(1-albedo)) ~ 950-1080 W/m2
         ghi = float(gsw[0]) / 0.8
         assert 880.0 < ghi < 1120.0, ghi
