@@ -231,8 +231,11 @@ def srk3_step(grid: AtmGrid, cfg: AtmConfig, carry: AtmCarry, dt,
                 av_c = av_c._replace(rho_pp=xch.cell(av_c.rho_pp, depth=1))
                 return av_c, None
 
+            # unroll: the acoustic scan is 1-4 iterations; unrolling
+            # removes the while-loop overhead (~20 ms/step in the device
+            # trace) and lets XLA fuse across iterations
             av, _ = jax.lax.scan(acoustic_body, av, None,
-                                 length=nsub[rk - 1])
+                                 length=nsub[rk - 1], unroll=True)
             av = divergence_damping_3d(grid, cfg, av, rk_sub[rk - 1],
                                        th_save, th_sum=hoist.th_sum)
             # ref: rw_p/ru_p(2)/rho_pp/rtheta_pp(2) exchanged before recover
