@@ -196,7 +196,9 @@ def thermodynamics_multilayer(cfg: SeaiceConfig, state: SeaiceState,
         state.surfaceTemperature, state.iceEnthalpy, state.snowEnthalpy,
         forcing.shortwaveDown[:, None], forcing.longwaveDown[:, None],
         forcing.airTemperature[:, None], forcing.oceanHeatFlux[:, None],
-        dt, sw_abs_lyr=sw_abs_lyr, albedo=albedo, sw_through=sw_through)
+        dt, sw_abs_lyr=sw_abs_lyr, albedo=albedo, sw_through=sw_through,
+        salinity=(state.iceSalinity if cfg.config_use_zsalinity
+                  else None))
     # frazil in open water (same capability as the zero-layer path)
     rhoL = cfg.rho_ice * cfg.latent_heat_fusion
     open_frac = jnp.clip(1.0 - jnp.sum(a2, axis=-1), 0.0, 1.0)

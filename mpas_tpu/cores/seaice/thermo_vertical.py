@@ -242,16 +242,26 @@ def _solve_heat(cfg: SeaiceConfig, T_s, T_sn, T_in, S_in, h_i, h_s,
 
 def thermo_multilayer(cfg: SeaiceConfig, a, vi, vs, T_s, q_i, q_s,
                       sw_down, lw_down, t_air, f_ocean, dt,
-                      sw_abs_lyr=None, albedo=None, sw_through=None):
+                      sw_abs_lyr=None, albedo=None, sw_through=None,
+                      salinity=None):
     """Full multilayer vertical thermodynamics for (nCells, nCat) columns.
 
     Returns updated (a, vi, vs, T_s, q_i, q_s) plus diagnostics dict.
-    ref: ice_therm_vertical.F90 thermo_vertical call sequence."""
+    ref: ice_therm_vertical.F90 thermo_vertical call sequence.
+
+    salinity: optional prognostic per-layer bulk salinity
+    (nCells, nCat, nilyr) from the zsalinity tracer — when given, the
+    conductivity and mush liquidus use the EVOLVING profile instead of
+    the fixed BL99 shape (the prognostic-salinity coupling of
+    ice_therm_mushy.F90's temperature/conductivity dependence on Sin)."""
     mushy = cfg.config_thermo_type == "mushy"
     nilyr = q_i.shape[-1]
     nslyr = q_s.shape[-1]
-    S = jnp.asarray(bl99_salinity_profile(nilyr), dtype=q_i.dtype)
-    S = jnp.broadcast_to(S, q_i.shape)
+    if salinity is not None and salinity.shape == q_i.shape:
+        S = salinity.astype(q_i.dtype)
+    else:
+        S = jnp.asarray(bl99_salinity_profile(nilyr), dtype=q_i.dtype)
+        S = jnp.broadcast_to(S, q_i.shape)
 
     has_ice = a > cfg.puny
     h_i = jnp.where(has_ice, vi / jnp.maximum(a, cfg.puny), 0.0)

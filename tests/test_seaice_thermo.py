@@ -348,3 +348,38 @@ class TestZSalinityAndOrbital:
         assert np.all(np.isfinite(S))
         assert S.min() >= 0.1 - 1e-9
         assert not np.allclose(S, np.asarray(S0))
+
+    def test_prognostic_salinity_couples_to_thermo(self):
+        """With zsalinity on, the evolving salinity profile feeds the
+        thermo (conductivity/liquidus) — a saltier column conducts less
+        and melts at a lower temperature, so trajectories diverge from
+        the fixed-profile run (ref: ice_therm_mushy.F90 Sin coupling)."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mpas_tpu.cores.seaice.config import SeaiceConfig
+        from mpas_tpu.cores.seaice.core import run_steps
+        from mpas_tpu.cores.seaice.init_square import init_square
+        from mpas_tpu.mesh.planar import box_hex_mesh
+        m = box_hex_mesh(6, 6, 20000.0)
+        cfg = SeaiceConfig(config_dt=600.0, config_use_zsalinity=True,
+                           config_thermo_type="mushy",
+                           config_n_ice_layers=7)
+        grid, state, forcing = init_square(m, cfg)
+        nCat = state.iceAreaCategory.shape[-1]
+        from mpas_tpu.cores.seaice import thermo_vertical as tv
+        q_i, q_s = tv.init_enthalpy(cfg, m.nCells, nCat, nilyr=7,
+                                    T_init=-8.0)
+        state = state.replace(iceEnthalpy=q_i, snowEnthalpy=q_s)
+        S_salty = jnp.full((m.nCells, nCat, 7), 12.0)
+        st_salty = state.replace(iceSalinity=S_salty)
+        st_fresh = state.replace(iceSalinity=jnp.full_like(S_salty, 1.0))
+        G = jax.tree.map(jnp.asarray, grid)
+        F = jax.tree.map(jnp.asarray, forcing)
+        o1 = run_steps(G, cfg, jax.tree.map(jnp.asarray, st_salty), F, 4)
+        o2 = run_steps(G, cfg, jax.tree.map(jnp.asarray, st_fresh), F, 4)
+        q1 = np.asarray(o1.iceEnthalpy)
+        q2 = np.asarray(o2.iceEnthalpy)
+        assert np.all(np.isfinite(q1)) and np.all(np.isfinite(q2))
+        assert float(np.max(np.abs(q1 - q2))) > 0.0
