@@ -303,3 +303,32 @@ def test_compute_interval_member_counts(channel):
     for k in range(3):
         out = m.compute(grid, cfg, state)
     assert out["computeCount"] == 3
+
+
+def test_moc_regions_and_bins(channel):
+    """Round-4 MOC: configurable bins + region masks (ref: the
+    regionCellMasks machinery of mpas_ocn_moc_streamfunction.F:128-144).
+    A region mask covering everything reproduces the global psi; a
+    half-domain region differs; bin count is honored."""
+    from mpas_tpu.cores.ocean.analysis.moc import MocStreamfunction
+    grid, state = channel
+    cfg = OcnConfig()
+    m = grid.mesh
+    yc = np.asarray(m.yCell)
+    all_mask = np.ones(m.nCells)
+    south = (yc < np.median(yc)).astype(float)
+    mem = MocStreamfunction(n_bins=20, regions={"all": all_mask,
+                                                "south": south})
+    mem.init(grid, cfg)
+    st = state.replace(u=state.u + 0.05)   # nonzero transport
+    out = mem.compute(grid, cfg, st)
+    psi = out["mocStreamvalLatAndDepth"]
+    assert psi.shape[0] == 19               # n_bins - 1 boundaries
+    np.testing.assert_allclose(out["mocStreamvalLatAndDepthRegion_all"],
+                               psi, rtol=1e-12)
+    psi_s = out["mocStreamvalLatAndDepthRegion_south"]
+    assert psi_s.shape == psi.shape
+    # the southern half-region must carry no transport across northern
+    # boundaries and differ from the global psi overall
+    assert float(np.max(np.abs(psi_s - psi))) > 0.0
+    assert np.allclose(psi_s[-1], 0.0)
