@@ -57,7 +57,7 @@ def _beta_profile(zn, kb_frac, kt_frac, p_shape=2.0, q_shape=2.0):
 
 
 def gf_convection(th, qv, p, rho, z_mid, dz, exner, dt, dx=15000.0,
-                  w_star=None):
+                  w_star=None, ccn=None):
     """Scale-aware deep+shallow convection on (nCells, nz) columns.
 
     dx: grid spacing in m (scalar or (nCells,)) for the scale-aware
@@ -173,6 +173,16 @@ def gf_convection(th, qv, p, rho, z_mid, dz, exner, dt, dx=15000.0,
 
     # precipitation efficiency from shear + depth (GF pef genre)
     pef = jnp.clip(0.9 - 0.4 * jnp.exp(-depth / 4000.0), 0.2, 0.9)
+    if ccn is not None:
+        # aerosol-aware autoconversion (ref: the GF aerosol option,
+        # module_cu_gf.mpas.F Berry-style CCN dependence): higher CCN ->
+        # smaller droplets -> slower warm-rain conversion -> lower
+        # precipitation efficiency, more detrained cloud water.
+        # Normalized to the 150/cm3 maritime reference; clamped so even
+        # very polluted columns keep 40% of the clean pef.
+        ccn_fac = jnp.clip((150.0 / jnp.maximum(ccn, 10.0)) ** 0.3,
+                           0.4, 1.0)
+        pef = pef * ccn_fac
     cond_rate = m_up / rho * jnp.maximum(-dqv_dz, 0.0) \
         + detr / (rho * jnp.maximum(dz, 1.0)) * q_cond
     rain_rate = pef[:, None] * cond_rate                  # kg/kg/s

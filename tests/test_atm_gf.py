@@ -81,3 +81,30 @@ class TestGrellFreitas:
         # temperature change bounded by the 5 K/step clamp
         dtemp = np.asarray((th2 - th) * exner)
         assert np.abs(dtemp).max() <= 5.0 + 1e-6
+
+
+def test_aerosol_aware_autoconversion():
+    """GF aerosol option (ref: module_cu_gf.mpas.F CCN-dependent
+    autoconversion): a polluted column (high CCN) rains less and
+    detrains more cloud water than a clean one, all else equal."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mpas_tpu.cores.atmosphere.physics.gf import gf_convection
+    nz = 30
+    z = np.linspace(100.0, 15000.0, nz)
+    t = 300.0 - 6.5e-3 * z
+    p = 1.013e5 * np.exp(-z / 7600.0)
+    rho = p / (287.0 * t)
+    exner = (p / 1.0e5) ** (287.0 / 1004.5)
+    th = t / exner
+    qv = 0.017 * np.exp(-z / 2200.0)
+    J = lambda a: jnp.asarray(a[None, :])
+    args = (J(th), J(qv), J(p), J(rho), J(z),
+            J(np.full(nz, z[1] - z[0])), J(exner), 300.0)
+    _, _, qc_clean, rain_clean, _ = gf_convection(
+        *args, ccn=jnp.asarray([100.0]))
+    _, _, qc_poll, rain_poll, _ = gf_convection(
+        *args, ccn=jnp.asarray([2000.0]))
+    assert float(rain_clean[0]) > 0.0
+    assert float(rain_poll[0]) < float(rain_clean[0])
+    assert float(jnp.sum(qc_poll)) >= float(jnp.sum(qc_clean))
