@@ -51,7 +51,7 @@ def soil_conductivity(smois):
 
 
 def noah_lsm(tsk, tslb, smois, swe, gsw, glw, hfx, lh, precip_rate, dt,
-             emiss=0.985, veg_frac=0.5):
+             emiss=0.985, veg_frac=0.5, isltyp=None, ivgtyp=None):
     """One LSM step for every column.
 
     tsk: (nC,) skin temperature; tslb: (nC,4) soil temperature;
@@ -60,12 +60,44 @@ def noah_lsm(tsk, tslb, smois, swe, gsw, glw, hfx, lh, precip_rate, dt,
     latent heat flux from the surface-layer scheme (W/m2, positive up);
     precip_rate: liquid-equivalent precip reaching the ground (m/s).
 
+    isltyp/ivgtyp: optional per-cell STATSGO soil (1-19) and USGS
+    vegetation (1-24) class indices — activates the vendored
+    SOILPARM/VEGPARM tables (noah_tables.py; ref: module_sf_noahlsm.F
+    SOILPARM/VEGPARM blocks). Without them the loam + prescribed
+    veg_frac defaults apply (backward compatible).
+
     Returns dict(tsk, tslb, smois, swe, beta, g_flux, snow_melt).
     ref call chain: SFLX -> SHFLX (soil heat) / SMFLX (soil moisture) /
     SNOPAC-SNOWPACK (snow).
     """
     dzs = jnp.asarray(DZS, dtype=tslb.dtype)
+    if isltyp is not None:
+        from mpas_tpu.cores.atmosphere.physics.noah_tables import \
+            soil_params
+        sp = soil_params(isltyp)
+        smcmax = sp["smcmax"][:, None]
+        smcref = sp["smcref"]
+        smcwlt = sp["smcwlt"]
+        bexp = sp["bb"][:, None]
+        dksat = sp["satdk"][:, None]
+        # Johansen-genre conductivity: quartz-rich soils conduct more
+        k_dry = 0.15 + 0.25 * sp["qtz"][:, None]
+    else:
+        smcmax, smcref, smcwlt = SMCMAX, SMCREF, SMCWLT
+        bexp, dksat = BEXP, DKSAT
+        k_dry = None
+    if ivgtyp is not None:
+        from mpas_tpu.cores.atmosphere.physics.noah_tables import \
+            veg_params
+        vp = veg_params(ivgtyp)
+        veg_frac = vp["shdfac"]
+        # stomatal limitation: transpiration efficiency ~ LAI/(LAI+rsmin/50)
+        stoma = vp["lai"] / (vp["lai"] + vp["rsmin"] / 50.0 + 1e-6)
+        veg_frac = veg_frac * jnp.clip(stoma * 2.0, 0.2, 1.0)
     kt = soil_conductivity(smois)                            # (nC,4)
+    if k_dry is not None:
+        sr_k = jnp.clip(smois / smcmax, 0.05, 1.0)
+        kt = k_dry + (2.0 - k_dry) * sr_k     # quartz-aware Johansen form
 
     # --- skin temperature: linearized energy balance --------------------
     # Rnet - H - LE - G = 0, G = k1 (tsk - T1) / (dz1/2)
@@ -109,21 +141,24 @@ def noah_lsm(tsk, tslb, smois, swe, gsw, glw, hfx, lh, precip_rate, dt,
     # beta-method evapotranspiration from the root zone (layers 1-3)
     root_sm = (smois[:, 0] * dzs[0] + smois[:, 1] * dzs[1]
                + smois[:, 2] * dzs[2]) / (dzs[0] + dzs[1] + dzs[2])
-    beta = jnp.clip((root_sm - SMCWLT) / (SMCREF - SMCWLT), 0.0, 1.0)
+    beta = jnp.clip((root_sm - smcwlt) / (smcref - smcwlt + 1e-9),
+                    0.0, 1.0)
     et_rate = jnp.maximum(lh, 0.0) / (_LV * 1000.0)          # m/s of water
     # diffusion between layers (soil water diffusivity from C-H relations)
-    sr = jnp.clip(smois / SMCMAX, 0.05, 1.0)
-    dwdif = DKSAT * BEXP * sr ** (BEXP + 2.0) * 0.5          # m2/s scaled
+    sr = jnp.clip(smois / smcmax, 0.05, 1.0)
+    dwdif = dksat * bexp * sr ** (bexp + 2.0) * 0.5          # m2/s scaled
     flux_int = dwdif[:, :-1] * (smois[:, :-1] - smois[:, 1:]) \
         / (0.5 * (dzs[:-1] + dzs[1:]))[None, :]              # (nC,3) down +
-    drain = DKSAT * sr[:, -1] ** (2.0 * BEXP + 3.0)          # bottom drain
+    drain = (dksat * sr ** (2.0 * bexp + 3.0))[:, -1] \
+        if hasattr(dksat, 'ndim') and getattr(dksat, 'ndim', 0) \
+        else DKSAT * sr[:, -1] ** (2.0 * BEXP + 3.0)         # bottom drain
     dsm = jnp.zeros_like(smois)
     dsm = dsm.at[:, 0].add(
         (infiltration - et_rate * veg_frac - flux_int[:, 0]) / dzs[0])
     dsm = dsm.at[:, 1].add((flux_int[:, 0] - flux_int[:, 1]) / dzs[1])
     dsm = dsm.at[:, 2].add((flux_int[:, 1] - flux_int[:, 2]) / dzs[2])
     dsm = dsm.at[:, 3].add((flux_int[:, 2] - drain) / dzs[3])
-    smois_new = jnp.clip(smois + dt * dsm, 0.02, SMCMAX)
+    smois_new = jnp.clip(smois + dt * dsm, 0.02, smcmax)
 
     swe_new = jnp.maximum(swe - snow_melt, 0.0)
 

@@ -155,3 +155,66 @@ class TestRRTMG:
         st = init_physics_state(10, 20, lsm_scheme="noah")
         assert st.tslb is not None and st.smois is not None
         assert cfg.config_radiation_scheme == "kdist"
+
+
+class TestNoahParamTables:
+    """Vendored SOILPARM/VEGPARM tables (noah_tables.py; ref:
+    module_sf_noahlsm.F SOILPARM/VEGPARM blocks)."""
+
+    def _forcings(self, n):
+        z = jnp.zeros(n)
+        return dict(gsw=jnp.full(n, 400.0), glw=jnp.full(n, 330.0),
+                    hfx=jnp.full(n, 60.0), lh=jnp.full(n, 80.0),
+                    precip_rate=z, dt=1800.0)
+
+    def test_soil_class_controls_hydrology(self):
+        """Sand (class 1) drains much faster than clay (class 12):
+        after identical wet starts, sand's bottom-layer drainage removes
+        more water."""
+        from mpas_tpu.cores.atmosphere.physics.noah import noah_lsm
+        n = 4
+        tsk = jnp.full(n, 295.0)
+        tslb = jnp.full((n, 4), 290.0)
+        smois = jnp.full((n, 4), 0.33)
+        swe = jnp.zeros(n)
+        f = self._forcings(n)
+        out_sand = noah_lsm(tsk, tslb, smois, swe, isltyp=jnp.full(n, 1,
+                            dtype=jnp.int32), **f)
+        out_clay = noah_lsm(tsk, tslb, smois, swe, isltyp=jnp.full(n, 12,
+                            dtype=jnp.int32), **f)
+        assert float(out_sand["smois"][:, 3].mean()) \
+            != float(out_clay["smois"][:, 3].mean())
+        # wilting/field-capacity differ -> beta differs
+        assert float(out_sand["beta"].mean()) > float(
+            out_clay["beta"].mean())
+
+    def test_veg_class_controls_transpiration(self):
+        """Barren (19, shdfac 0.01) transpires less than cropland (2)."""
+        from mpas_tpu.cores.atmosphere.physics.noah import noah_lsm
+        n = 4
+        tsk = jnp.full(n, 295.0)
+        tslb = jnp.full((n, 4), 290.0)
+        smois = jnp.full((n, 4), 0.25)
+        swe = jnp.zeros(n)
+        f = self._forcings(n)
+        out_crop = noah_lsm(tsk, tslb, smois, swe,
+                            isltyp=jnp.full(n, 6, dtype=jnp.int32),
+                            ivgtyp=jnp.full(n, 2, dtype=jnp.int32), **f)
+        out_bare = noah_lsm(tsk, tslb, smois, swe,
+                            isltyp=jnp.full(n, 6, dtype=jnp.int32),
+                            ivgtyp=jnp.full(n, 19, dtype=jnp.int32), **f)
+        # cropland loses more top-layer water to transpiration
+        assert float(out_crop["smois"][:, 0].mean()) < float(
+            out_bare["smois"][:, 0].mean())
+
+    def test_table_sanity(self):
+        from mpas_tpu.cores.atmosphere.physics.noah_tables import (
+            soil_params, veg_params)
+        import numpy as np
+        sp = soil_params(np.arange(1, 20))
+        assert np.all(np.asarray(sp["smcmax"])[:13] > 0.3)
+        assert np.all(np.asarray(sp["smcwlt"]) < np.asarray(sp["smcref"])
+                      + 1e-12)
+        vp = veg_params(np.arange(1, 25))
+        assert float(np.asarray(vp["albedo"])[23]) > 0.5   # snow/ice
+        assert float(np.asarray(vp["z0"])[13]) > 1.0       # evergreen
