@@ -172,3 +172,48 @@ class TestGlobalOceanInit:
         out = load_dataset_netcdf(p)
         assert np.allclose(out["lat"], ds["lat"], atol=1e-12)
         assert np.allclose(out["temperature"], ds["temperature"])
+
+
+class TestCarbonateSystem:
+    """Carbonate chemistry anchors (published values): surface seawater
+    at DIC=2000 umol/kg, ALK=2300, T=20C, S=35 has pH ~8.05-8.2 and
+    pCO2 ~280-420 uatm (Zeebe & Wolf-Gladrow genre); warming raises
+    pCO2 ~4%/K; the air-sea flux direction follows the pCO2 gradient."""
+
+    def test_surface_equilibrium_anchor(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.ocean.carbonate import carbonate_equilibrium
+        dic = jnp.asarray([2.000e-3])
+        alk = jnp.asarray([2.300e-3])
+        ph, pco2, co3, hco3 = carbonate_equilibrium(
+            dic, alk, jnp.asarray([20.0]), jnp.asarray([35.0]))
+        assert 8.0 < float(ph[0]) < 8.25, float(ph[0])
+        assert 250.0 < float(pco2[0]) < 430.0, float(pco2[0])
+        # speciation: HCO3 dominates, CO3 ~ 10%
+        assert float(hco3[0]) > 0.8 * float(dic[0])
+        assert 0.03 * float(dic[0]) < float(co3[0]) < 0.15 * float(dic[0])
+
+    def test_warming_raises_pco2(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.ocean.carbonate import carbonate_equilibrium
+        dic = jnp.asarray([2.0e-3]); alk = jnp.asarray([2.3e-3])
+        s = jnp.asarray([35.0])
+        _, p15, _, _ = carbonate_equilibrium(dic, alk, jnp.asarray([15.0]), s)
+        _, p25, _, _ = carbonate_equilibrium(dic, alk, jnp.asarray([25.0]), s)
+        ratio = float(p25[0] / p15[0])
+        assert 1.3 < ratio < 1.8, ratio     # ~4.2%/K over 10 K
+
+    def test_flux_direction_and_ice_gate(self):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.ocean.carbonate import air_sea_co2_flux
+        dic = jnp.asarray([2.0e-3]); alk = jnp.asarray([2.3e-3])
+        t = jnp.asarray([10.0]); s = jnp.asarray([35.0])
+        w = jnp.asarray([8.0])
+        f_in, pco2, _ = air_sea_co2_flux(dic, alk, t, s, w,
+                                         pco2_atm_uatm=420.0)
+        # cold water at this DIC/ALK is undersaturated -> uptake
+        assert float(pco2[0]) < 420.0
+        assert float(f_in[0]) > 0.0
+        f_ice, _, _ = air_sea_co2_flux(dic, alk, t, s, w,
+                                       pco2_atm_uatm=420.0, ice_frac=1.0)
+        assert abs(float(f_ice[0])) < 1e-15
