@@ -232,3 +232,30 @@ def ecosys_step(state, grid, dt, sw_surface,
     tr8 = tr8.at[..., 6].set(detn).at[..., 7].set(detsi)
     tr = tr.at[..., index0:index0 + 8].set(tr8)
     return state.replace(tracers=tr)
+
+
+def carbon_step(state, grid, dt, t_c, s, wind10, index_dic: int,
+                index_alk: int, pco2_atm_uatm: float = 420.0,
+                ice_frac=0.0):
+    """DIC/ALK carbon-pool update: air-sea CO2 exchange into the top
+    layer (ref: the ecosys carbonate/gas-exchange block of
+    mpas_ocn_tracer_ecosys.F; chemistry in ocean/carbonate.py).
+
+    t_c/s: surface temperature (C) and salinity (psu), (nC,);
+    wind10 (nC,) m/s; tracers carry DIC/ALK in mol/kg at index_dic/alk.
+    Returns (state, diagnostics dict with pCO2/pH/flux)."""
+    import jax.numpy as jnp
+
+    from mpas_tpu.cores.ocean.carbonate import air_sea_co2_flux
+    tr = state.tracers
+    h_top = state.layerThickness[:, 0]
+    dic = tr[:, 0, index_dic]
+    alk = tr[:, 0, index_alk]
+    flux, pco2, ph = air_sea_co2_flux(dic, alk, t_c, s, wind10,
+                                      pco2_atm_uatm=pco2_atm_uatm,
+                                      ice_frac=ice_frac)
+    # mol/m2/s into mol/kg of the top layer (rho0 ~ 1030 kg/m3)
+    d_dic = flux * dt / (1030.0 * jnp.maximum(h_top, 0.1))
+    tr = tr.at[:, 0, index_dic].add(d_dic)
+    return state.replace(tracers=tr), {
+        "pco2Surface": pco2, "phSurface": ph, "co2Flux": flux}

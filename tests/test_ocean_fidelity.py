@@ -217,3 +217,24 @@ class TestCarbonateSystem:
         f_ice, _, _ = air_sea_co2_flux(dic, alk, t, s, w,
                                        pco2_atm_uatm=420.0, ice_frac=1.0)
         assert abs(float(f_ice[0])) < 1e-15
+
+    def test_carbon_step_uptake_raises_dic(self, channel):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.ocean.bgc import carbon_step
+        grid, state = channel
+        nC, nz = state.layerThickness.shape
+        nT = state.tracers.shape[-1]
+        tr = jnp.concatenate(
+            [state.tracers,
+             jnp.full((nC, nz, 1), 2.0e-3),    # DIC
+             jnp.full((nC, nz, 1), 2.3e-3)],   # ALK
+            axis=-1)
+        st = state.replace(tracers=tr)
+        st2, diag = carbon_step(
+            st, grid, 3600.0, t_c=jnp.full(nC, 10.0),
+            s=jnp.full(nC, 35.0), wind10=jnp.full(nC, 8.0),
+            index_dic=nT, index_alk=nT + 1)
+        d_dic = np.asarray(st2.tracers[:, 0, nT] - tr[:, 0, nT])
+        assert np.all(d_dic > 0.0)            # undersaturated -> uptake
+        assert np.all(np.asarray(diag["pco2Surface"]) < 420.0)
+        assert np.all(np.isfinite(np.asarray(diag["phSurface"])))
