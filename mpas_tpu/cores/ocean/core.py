@@ -171,6 +171,9 @@ class OcnGrid:
     # the surfacePressure/landIcePressure term of ocn_diagnostics pressure,
     # mpas_ocn_diagnostics.F — land-ice cavities, sea-ice loading)
     surfacePressure: Any = None   # (nCells,)
+    # column tidal energy flux (W/m2) for the CVMix tidal-mixing scheme
+    # (ref: the tidalEnergyFlux input field of mpas_ocn_vmix_cvmix.F)
+    tidalEnergyFlux: Any = None   # (nCells,)
 
 
 def build_level_masks(mesh, maxLevelCell, nz, dtype=np.float64):

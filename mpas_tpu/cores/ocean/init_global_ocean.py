@@ -47,9 +47,11 @@ def synthetic_woa_dataset(nlat=60, nlon=120, ndep=30):
     S = 34.7 + 0.8 * np.exp(-z / 1000.0) * np.cos(LA)[None] \
         + 0.2 * np.sin(LA[None]) ** 2
     tau = 0.1 * np.cos(3.0 * LA) * np.cos(LA)
+    # tidal dissipation concentrated over the ridge (rough topography)
+    tidal = 2.0e-3 * np.exp(-((LO - np.pi) / 0.2) ** 2) + 2.0e-4
     return {"lat": lat, "lon": lon, "depth": depth,
             "temperature": T, "salinity": S, "topography": topo,
-            "windstress_zonal": tau}
+            "windstress_zonal": tau, "tidal_energy_flux": tidal}
 
 
 def load_dataset_netcdf(path, names=None):
@@ -155,6 +157,11 @@ def init_global_ocean(mesh: Mesh, dataset: dict, nz: int = 40,
 
     state = _state(mesh, nz, h0, np.stack([T, S], -1), dtype)
 
+    if "tidal_energy_flux" in dataset:
+        tef = _bilinear(dataset["lat"], dataset["lon"],
+                        dataset["tidal_energy_flux"], lat, lon)
+        grid = grid.replace(tidalEnergyFlux=np.asarray(
+            np.where(land, 0.0, tef), dtype=dtype))
     forcing = zero_forcing(mesh.nCells, dtype)
     if "windstress_zonal" in dataset:
         tau_c = _bilinear(dataset["lat"], dataset["lon"],

@@ -238,3 +238,32 @@ class TestCarbonateSystem:
         assert np.all(d_dic > 0.0)            # undersaturated -> uptake
         assert np.all(np.asarray(diag["pco2Surface"]) < 420.0)
         assert np.all(np.isfinite(np.asarray(diag["phSurface"])))
+
+    def test_tidal_energy_flux_from_dataset(self):
+        """The global-ocean init interpolates the dataset's tidal energy
+        flux onto cells (ref: the tidalEnergyFlux input of
+        mpas_ocn_vmix_cvmix.F), and the cvmix tidal scheme uses it."""
+        import jax.numpy as jnp
+        from mpas_tpu.cores.ocean.init_global_ocean import (
+            init_global_ocean, synthetic_woa_dataset)
+        from mpas_tpu.cores.ocean.vmix import coefs_cvmix_tidal
+        from mpas_tpu.cores.ocean.core import equation_of_state
+        from mpas_tpu.mesh.sphere import icosahedral_mesh
+        mesh = icosahedral_mesh(8, lloyd_iters=1)
+        grid, state, _ = init_global_ocean(mesh, synthetic_woa_dataset(),
+                                           nz=12)
+        tef = np.asarray(grid.tidalEnergyFlux)
+        assert tef.shape == (mesh.nCells,)
+        assert tef.max() > 5.0 * max(tef.min(), 1e-9)  # ridge-concentrated
+        cfg = OcnConfig(config_use_cvmix_tidal_mixing=True)
+        rho = equation_of_state(cfg, state.tracers[..., 0],
+                                state.tracers[..., 1])
+        visc, diff = coefs_cvmix_tidal(grid, cfg, jnp.asarray(state.u),
+                                       jnp.asarray(state.layerThickness),
+                                       rho)
+        d = np.asarray(diff)
+        assert np.all(np.isfinite(d)) and d.max() > 0
+        # mixing follows the energy-flux geography
+        hi = tef > np.percentile(tef, 90)
+        lo = tef < np.percentile(tef, 20)
+        assert d[hi].mean() > d[lo].mean()
