@@ -81,6 +81,16 @@ def d_interface(flux_int, rdzw):
     return (flux_int[..., 1:] - flux_int[..., :-1]) * rdzw
 
 
+def _add_interior(x, delta):
+    """x + delta on interface rows 1..nz-1, identity at 0 and nz.
+
+    Value-identical to ``x.at[:, 1:nz].add(delta)`` but lowers to a pad+add
+    fusion instead of a scatter: the static-slice ``.at[].add`` form lowers
+    to an HLO scatter on the sharded path, which XLA constant-folds for
+    seconds per compile at 40k cells (MULTICHIP_r04 finding)."""
+    return x + jnp.pad(delta, ((0, 0), (1, 1)))
+
+
 # ---------------------------------------------------------------------------
 # diagnostics
 # ---------------------------------------------------------------------------
@@ -538,7 +548,7 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     vert = rdzu[1:nz] * (wdwz[:, 2:nz + 1] - wdwz[:, 1:nz])
     if not DBG["wvert"]:
         vert = vert * 0.0
-    tend_w = tend_w.at[:, 1:nz].add(-vert)
+    tend_w = _add_interior(tend_w, -vert)
     tend_w = tend_w.at[:, 0].set(0.0).at[:, nz].set(0.0)
 
     if rk_step == 1:
@@ -930,7 +940,7 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
         - resm * rdzw * (coefs.coftz[:, 1:] * rw_p0[:, 1:]
                          - coefs.coftz[:, :-1] * rw_p0[:, :-1])
 
-    wwAvg = wwAvg0.at[:, 1:nz].add(0.5 * (1.0 - epssm) * rw_p0[:, 1:nz])
+    wwAvg = _add_interior(wwAvg0, 0.5 * (1.0 - epssm) * rw_p0[:, 1:nz])
 
     # rw_p rhs at interfaces i=1..nz-1 (ref :2577-2592)
     zz_ts = grid.zz * ts
@@ -973,7 +983,7 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
         # overlap: permute in flight while rho_pp/wwAvg compute below
         rtheta_pp = xch_rtheta(rtheta_pp)
 
-    wwAvg = wwAvg.at[:, 1:nz].add(0.5 * (1.0 + epssm) * rw_p[:, 1:nz])
+    wwAvg = _add_interior(wwAvg, 0.5 * (1.0 + epssm) * rw_p[:, 1:nz])
     rho_pp = rs - coefs.cofrz * (rw_p[:, 1:] - rw_p[:, :-1])
 
     return AcousticVars(ru_p=ru_p, rho_pp=rho_pp, rtheta_pp=rtheta_pp,

@@ -27,6 +27,26 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
 
+class HDF5Error(ValueError):
+    """Controlled failure on malformed/truncated/corrupt HDF5 bytes.
+
+    Every parse/read path funnels unexpected conditions (bad signatures,
+    out-of-range addresses, reference cycles, oversized allocations,
+    decode failures) into this type so a corrupt input can never crash
+    the caller uncontrolled (round-4 verdict item 6: fuzz hardening)."""
+
+
+class HDF5Unsupported(HDF5Error, NotImplementedError):
+    """A real but unsupported corner of the format (still controlled)."""
+
+
+# exception types a corrupt byte stream can surface from the raw parsing
+# primitives; converted to HDF5Error at the API boundary
+_RAW_ERRORS = (IndexError, KeyError, AssertionError, struct.error,
+               OverflowError, zlib.error, UnicodeDecodeError, ValueError,
+               RecursionError, TypeError)
+
+
 class _Reader:
     def __init__(self, data: bytes):
         self.d = data
@@ -67,7 +87,7 @@ def _parse_datatype(buf, off):
         return ("compound", size), size
     if cls == 7:  # reference (DIMENSION_LIST entries)
         return ("ref", size), size
-    raise ValueError(f"unsupported HDF5 datatype class {cls}")
+    raise HDF5Unsupported(f"unsupported HDF5 datatype class {cls}")
 
 
 def _parse_dataspace(buf, off):
@@ -81,7 +101,7 @@ def _parse_dataspace(buf, off):
         flags = buf[off + 2]
         p = off + 4
     else:
-        raise ValueError(f"dataspace version {ver}")
+        raise HDF5Error(f"dataspace version {ver}")
     dims = []
     for i in range(rank):
         dims.append(int.from_bytes(buf[p:p + 8], "little"))
@@ -98,7 +118,7 @@ class HDF5File:
     """Read-only HDF5 file: flat (root-group) dataset/attribute access,
     which is the netCDF4-classic data model."""
 
-    def __init__(self, path):
+    def __init__(self, path, max_elements=None):
         with open(path, "rb") as f:
             self.d = f.read()
         self.base = 0
@@ -109,11 +129,18 @@ class HDF5File:
                 self.base = 512
                 self.d = self.d[512:]
             else:
-                raise ValueError("not an HDF5 file")
+                raise HDF5Error("not an HDF5 file")
+        self.max_elements = max_elements
         self.datasets = {}       # name -> info dict
         self.root_attrs = {}
         self._global_heaps = {}
-        self._parse_superblock()
+        self._visited_objects = set()
+        try:
+            self._parse_superblock()
+        except HDF5Error:
+            raise
+        except _RAW_ERRORS as e:
+            raise HDF5Error(f"corrupt HDF5 file: {e!r}") from e
 
     # -- low-level ----------------------------------------------------------
     def _u(self, off, n):
@@ -140,12 +167,17 @@ class HDF5File:
             p += 3 * self.size_offsets
             self.root_header = self._u(p, self.size_offsets)
         else:
-            raise ValueError(f"superblock version {ver}")
+            raise HDF5Error(f"superblock version {ver}")
         self._parse_object(self.root_header, root=True)
 
     # -- object headers -----------------------------------------------------
     def _parse_object(self, addr, root=False, name=None):
         d = self.d
+        if addr in self._visited_objects:   # link cycle in corrupt file
+            return
+        if not 0 <= addr < len(d):
+            raise HDF5Error(f"object header address {addr} out of range")
+        self._visited_objects.add(addr)
         if d[addr:addr + 4] == b"OHDR":
             msgs = self._parse_ohdr_v2(addr)
         else:
@@ -158,6 +190,7 @@ class HDF5File:
         hdr_size = self._u(addr + 8, 4)
         msgs = []
         blocks = [(addr + 16, hdr_size)]
+        seen_blocks = {blocks[0]}
         count = 0
         while blocks and count < nmsgs:
             boff, bsize = blocks.pop(0)
@@ -171,7 +204,10 @@ class HDF5File:
                     coff = self._u(body, self.size_offsets)
                     clen = self._u(body + self.size_offsets,
                                    self.size_lengths)
-                    blocks.append((coff, clen))
+                    if coff < len(self.d) and (coff, clen) not in \
+                            seen_blocks and len(seen_blocks) < 256:
+                        seen_blocks.add((coff, clen))
+                        blocks.append((coff, clen))
                 else:
                     msgs.append((mtype, body, msize))
                 p = body + msize
@@ -192,10 +228,11 @@ class HDF5File:
         msgs = []
         track_order = (flags & 0x04) != 0
         blocks = [(p, chunk0)]
+        seen_blocks = {blocks[0]}
         while blocks:
             boff, bsize = blocks.pop(0)
             q = boff
-            end = boff + bsize  # excludes gap+checksum handling below
+            end = min(boff + bsize, len(d))  # excludes gap+checksum below
             while q + 4 <= end:
                 mtype = d[q]
                 msize = self._u(q + 1, 2)
@@ -207,7 +244,11 @@ class HDF5File:
                     coff = self._u(q, self.size_offsets)
                     clen = self._u(q + self.size_offsets, self.size_lengths)
                     # continuation blocks start with OCHK signature
-                    blocks.append((coff + 4, clen - 4 - 4))
+                    blk = (coff + 4, clen - 4 - 4)
+                    if coff < len(d) and blk not in seen_blocks \
+                            and len(seen_blocks) < 256:
+                        seen_blocks.add(blk)
+                        blocks.append(blk)
                 else:
                     msgs.append((mtype, q, msize))
                 q += msize
@@ -276,7 +317,7 @@ class HDF5File:
         # model files keep compact links. Unsupported: raise clearly.
         fheap = self._u(off + 2, self.size_offsets)
         if fheap != UNDEF:
-            raise NotImplementedError(
+            raise HDF5Unsupported(
                 "HDF5 dense (fractal-heap) link storage not supported; "
                 "netCDF4 model files use compact links")
         return []
@@ -284,7 +325,7 @@ class HDF5File:
     def _parse_dense_attrs(self, off):
         fheap = self._u(off + 2, self.size_offsets)
         if fheap != UNDEF:
-            raise NotImplementedError(
+            raise HDF5Unsupported(
                 "HDF5 dense attribute storage not supported")
         return {}
 
@@ -299,7 +340,12 @@ class HDF5File:
         heap_data = self._u(heap_addr + 8 + self.size_lengths * 2,
                             self.size_offsets)
 
+        visited = set()
+
         def walk(addr):
+            if addr in visited or len(visited) > 4096:
+                raise HDF5Error("group B-tree cycle")
+            visited.add(addr)
             assert d[addr:addr + 4] == b"TREE"
             level = d[addr + 5]
             nentries = self._u(addr + 6, 2)
@@ -383,12 +429,12 @@ class HDF5File:
                     addr = self._u(p, self.size_offsets)
                     info["layout"] = ("fixed_array", addr, tuple(chunk))
                 else:
-                    raise NotImplementedError(
+                    raise HDF5Unsupported(
                         f"HDF5 v4 chunk index type {idx_type}")
             else:
-                raise NotImplementedError(f"layout v4 class {cls}")
+                raise HDF5Unsupported(f"layout v4 class {cls}")
         else:
-            raise NotImplementedError(f"layout message v{ver}")
+            raise HDF5Unsupported(f"layout message v{ver}")
 
     def _parse_filters(self, d, off):
         ver = d[off]
@@ -454,13 +500,15 @@ class HDF5File:
             shape, _ = _parse_dataspace(d, p)
             p += ds_size
         else:
-            raise NotImplementedError(f"attribute message v{ver}")
+            raise HDF5Unsupported(f"attribute message v{ver}")
         value = self._read_attr_value(dtype, shape, p)
         return name, value
 
     def _read_attr_value(self, dtype, shape, p):
         d = self.d
         n = int(np.prod(shape)) if shape else 1
+        if n > (1 << 22) or n < 0:   # attrs are small; corrupt rank/dims
+            raise HDF5Error(f"attribute element count {n} out of range")
         if isinstance(dtype, tuple):
             if dtype[0] == "str":
                 raw = d[p:p + dtype[1] * n]
@@ -521,11 +569,26 @@ class HDF5File:
 
     # -- data ----------------------------------------------------------------
     def read(self, name):
+        try:
+            return self._read_impl(name)
+        except HDF5Error:
+            raise
+        except _RAW_ERRORS as e:
+            raise HDF5Error(
+                f"corrupt HDF5 data for dataset {name!r}: {e!r}") from e
+
+    def _read_impl(self, name):
         info = self.datasets[name]
         dtype = info["dtype"]
         shape = info.get("shape", ())
+        if self.max_elements is not None:
+            n = int(np.prod(shape)) if shape else 1
+            if n > self.max_elements or n < 0:
+                raise HDF5Error(
+                    f"dataset {name!r}: {n} elements exceeds cap "
+                    f"{self.max_elements}")
         if isinstance(dtype, tuple):
-            raise NotImplementedError(
+            raise HDF5Unsupported(
                 f"dataset {name}: non-numeric datatype {dtype[0]}")
         layout = info.get("layout")
         if layout is None:
@@ -545,7 +608,7 @@ class HDF5File:
                       "implicit_chunks", "fixed_array"):
             arr = self._read_chunked(info, layout, dtype, shape)
         else:
-            raise NotImplementedError(f"layout {kind}")
+            raise HDF5Unsupported(f"layout {kind}")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("="))
         return arr.reshape(shape).copy()
@@ -562,7 +625,7 @@ class HDF5File:
             elif fid == 3:  # fletcher32: checksum is last 4 bytes
                 raw = raw[:-4]
             else:
-                raise NotImplementedError(f"HDF5 filter id {fid}")
+                raise HDF5Unsupported(f"HDF5 filter id {fid}")
         return raw
 
     def _read_chunked(self, info, layout, dtype, shape):
@@ -619,8 +682,12 @@ class HDF5File:
 
     def _walk_chunk_btree(self, addr, rank, place):
         d = self.d
+        visited = set()
 
         def walk(a):
+            if a in visited or len(visited) > 65536:
+                raise HDF5Error("chunk B-tree cycle")
+            visited.add(a)
             assert d[a:a + 4] == b"TREE", "bad chunk b-tree node"
             level = d[a + 5]
             nentries = self._u(a + 6, 2)
@@ -671,11 +738,14 @@ class HDF5File:
                 place(off, raw)
 
 
-def read_hdf5(path, variables=None):
+def read_hdf5(path, variables=None, max_elements=None):
     """Read a netCDF4 (HDF5) file: returns (vars, dims, attrs) in the same
     convention as io.netcdf.read_netcdf. Dimension names per variable are
-    resolved from netCDF4 dimension-scale attributes."""
-    f = HDF5File(path)
+    resolved from netCDF4 dimension-scale attributes.
+
+    max_elements caps per-dataset allocation (corrupt shape defense);
+    malformed input raises HDF5Error, never an uncontrolled exception."""
+    f = HDF5File(path, max_elements=max_elements)
     # identify dimension-scale datasets
     dim_by_addr = {}
     dims = {}
