@@ -75,34 +75,38 @@ def advective_tendencies_cell(grid, fields):
     mesh = grid.mesh
     ks = [p.shape[1] for p, _ in fields]
 
-    # ALL gather operands and intermediates stay flattened with every
-    # field's levels concatenated on the LANE axis (sum ks lanes). A
-    # rank-4/5 gather like F[cellsOnCell] with (3, nF, K) trailing dims
-    # lowers with a minor dim of 27 padded to 128 and an embedded
-    # transpose — measured 9.4 ms each on v5e, the single largest ops of
-    # the whole step. Flattened, the same gather moves (nC, mE, 3*sumK)
-    # with full lanes: ~6x less HBM.
+    # ALL operands stay flattened with every field's levels concatenated
+    # on the LANE axis (sum ks lanes), and the per-cell edge-slot axis
+    # lives on the MAJOR (free) axis: (mE, nC, SK) gathers + rank-2
+    # (nC, SK) arithmetic per slot. The round-4 slot-minor formulation
+    # ((nC, mE, SK) rank-3 + einsums) paid (8/6)x sublane and (128/53)x
+    # lane padding on every rank-3 intermediate plus the dot_general
+    # batch-merge reshapes — measured 8.9 ms vs 3.7 ms per sweep for the
+    # slot-major form at jw_120km shapes (bench_scripts/slotmajor_ab.py,
+    # round 5). Values match to f32 roundoff (FMA reassociation only).
     psi = jnp.concatenate([p for p, _ in fields], axis=1)    # (nC, SK)
     ru = jnp.concatenate([r for _, r in fields], axis=1)     # (nE, SK)
-    SK = psi.shape[1]
-
-    g = psi[mesh.cellsOnCell]                                # (nC, mE, SK)
-    F = jnp.einsum("cmi,cik->cmk", grid.d2_bmat[:, :, 1:], g) \
-        + grid.d2_bmat[:, :, 0][:, :, None] * psi[:, None]   # (nC, 3, SK)
-    # opposite-cell derivatives: THREE rank-3 gathers of clean (nC, SK)
-    # slices instead of one rank-5 (nC, mE, 3, nF, K) gather — the
-    # rank-5 form lowers with a 27-lane minor dim padded to 128 and an
-    # embedded transpose (measured 9.4 ms each, the largest ops of the
-    # whole step)
-    d2own = jnp.einsum("cpm,cmk->cpk", grid.d2w_own, F)
-    d2opp = sum(grid.d2w_opp[:, :, m, None] * F[:, m][mesh.cellsOnCell]
-                for m in range(3))
-    ru_g = ru[mesh.edgesOnCell]                              # (nC, mE, SK)
-    upw = (grid.adv_beta * grid.adv_sside)[:, :, None]
-    val = 0.5 * (psi[:, None] + g) + d2own + d2opp \
-        + jnp.sign(ru_g) * upw * (d2own - d2opp)
-    wdiv = (mesh.edgeSignOnCell * grid.dv_cell)[:, :, None]
-    tend = -jnp.sum(wdiv * ru_g * val, axis=1)               # (nC, SK)
+    mE = mesh.cellsOnCell.shape[1]
+    cocT = mesh.cellsOnCell.T                                # (mE, nC)
+    eocT = mesh.edgesOnCell.T
+    g = psi[cocT]                                            # (mE, nC, SK)
+    B = grid.d2_bmat                                         # (nC, 3, mE+1)
+    F = [sum(B[:, m, 1 + i][:, None] * g[i] for i in range(mE))
+         + B[:, m, 0][:, None] * psi for m in range(3)]      # 3 x (nC, SK)
+    beta = grid.adv_beta
+    tend = 0.0
+    for s in range(mE):
+        d2own = sum(grid.d2w_own[:, s, m][:, None] * F[m]
+                    for m in range(3))
+        d2opp = sum(grid.d2w_opp[:, s, m][:, None] * F[m][cocT[s]]
+                    for m in range(3))
+        ru_s = ru[eocT[s]]
+        upw = (beta * grid.adv_sside[:, s])[:, None]
+        val = 0.5 * (psi + g[s]) + d2own + d2opp \
+            + jnp.sign(ru_s) * upw * (d2own - d2opp)
+        wdiv = (mesh.edgeSignOnCell[:, s] * grid.dv_cell[:, s])[:, None]
+        tend = tend + wdiv * ru_s * val
+    tend = -tend                                             # (nC, SK)
     outs, o = [], 0
     for k in ks:
         outs.append(tend[:, o:o + k])

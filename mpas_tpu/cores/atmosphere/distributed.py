@@ -116,7 +116,11 @@ def shard_atm_grid(grid: AtmGrid, part, halo_depth: int = ATM_HALO_DEPTH
         vert=grid.vert,                       # 1-D vertical data: replicated
         zgrid=sc(grid.zgrid, "cell"), zz=sc(grid.zz, "cell"),
         zxu=sc(grid.zxu, "edge"), dss=sc(grid.dss, "cell"),
-        zb_cell=sc(grid.zb_cell, "cell"), zb3_cell=sc(grid.zb3_cell, "cell"),
+        # slot-major (mE, nC, K): shard the cell axis (axis 1)
+        zb_cell=sc(np.asarray(grid.zb_cell).transpose(1, 0, 2),
+                   "cell").transpose(0, 2, 1, 3),
+        zb3_cell=sc(np.asarray(grid.zb3_cell).transpose(1, 0, 2),
+                    "cell").transpose(0, 2, 1, 3),
         advCellsForEdge=adv_local, adv_coefs=adv_coefs,
         adv_coefs_3rd=adv_coefs3,
         d2_bmat=d2_bmat_l, d2w=d2w_l, adv_beta=grid.adv_beta,

@@ -241,7 +241,7 @@ def _init_jw_impl(mesh: Mesh, cfg: AtmConfig, case: int, n_scalars: int,
     for i in range(mesh.maxEdges):
         e = eoc[:, i]
         flux = ru_int[e]                                  # (nC, nz+1)
-        zbz3 = zb_cell[:, i, :] + np.sign(flux) * zb3_cell[:, i, :]
+        zbz3 = zb_cell[i] + np.sign(flux) * zb3_cell[i]
         rw_metric -= sign[:, i:i + 1] * zbz3 * flux * zz_int
     # initial w diagnosed from the metric flux (ref: init case :1043-1075,
     # w = metric_rw / rho_int — reference quirk: no zz division there)

@@ -773,9 +773,19 @@ def set_smlstep_pert_variables(grid: AtmGrid, tend_u, tend_w):
     sign_lev = jnp.sign(tend_u)                          # (nE, nz)
     sign_int = jnp.concatenate([sign_lev, jnp.zeros_like(tend_u[:, :1])],
                                axis=-1)
-    g_flux, g_sign = _rows_gather(mesh.edgesOnCell, [ut_int, sign_int])
-    zbz3 = grid.zb_cell + g_sign * grid.zb3_cell
-    contrib = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3 * g_flux, axis=1)
+    # slot-major omega-metric contraction: one packed (nC, 2K) gather per
+    # edge slot + rank-2 FMAs against the slot-major zb/zb3 tensors
+    # (round-5 layout finding: rank-3 (nC, mE, K) intermediates pay
+    # (8/6)x(128/K)x padding; see advection.py)
+    K = nz + 1
+    cat = jnp.concatenate([ut_int, sign_int], axis=-1)   # (nE, 2K)
+    eocT = mesh.edgesOnCell.T
+    contrib = 0.0
+    for s in range(mesh.edgesOnCell.shape[1]):
+        g = cat[eocT[s]]                                 # (nC, 2K)
+        zbz3 = grid.zb_cell[s] + g[:, K:] * grid.zb3_cell[s]
+        contrib = contrib + mesh.edgeSignOnCell[:, s][:, None] \
+            * zbz3 * g[:, :K]
     w_tend = tend_w - contrib
     zz_int = to_interface(grid.zz, fzm, fzp)
     w_tend = w_tend * zz_int
@@ -1051,18 +1061,24 @@ def recover_large_step_variables(grid: AtmGrid, cfg: AtmConfig,
     ru = ru_save + av.ru_p
     u = 2.0 * ru / (rho_zz[c1] + rho_zz[c2])
 
-    # metric part of w (ref :2978-3005)
+    # metric part of w (ref :2978-3005), slot-major (see
+    # set_smlstep_pert_variables)
     ru_int = to_interface(ru, fzm, fzp)
     # surface flux uses cf1/2/3 extrapolation
     flux_sfc = cf1 * ru[:, 0] + cf2 * ru[:, 1] + cf3 * ru[:, 2]  # (nE,)
-    g_int, g_sfc1 = _rows_gather(mesh.edgesOnCell,
-                                 [ru_int, flux_sfc[:, None]])
-    g_sfc = g_sfc1[..., 0]                               # (nC, mE)
-    zbz3_int = grid.zb_cell + jnp.sign(g_int) * grid.zb3_cell
-    zbz3_sfc = grid.zb_cell[:, :, 0] + jnp.sign(g_sfc) * grid.zb3_cell[:, :, 0]
-    w_metric = jnp.sum(mesh.edgeSignOnCell[..., None] * zbz3_int * g_int,
-                       axis=1)
-    w_sfc = jnp.sum(mesh.edgeSignOnCell * zbz3_sfc * g_sfc, axis=1)
+    cat = jnp.concatenate([ru_int, flux_sfc[:, None]], axis=-1)
+    eocT = mesh.edgesOnCell.T
+    w_metric = 0.0
+    w_sfc = 0.0
+    for s in range(mesh.edgesOnCell.shape[1]):
+        g = cat[eocT[s]]                                 # (nC, nz+2)
+        gi = g[:, :nz + 1]
+        gs = g[:, nz + 1]
+        zbz3 = grid.zb_cell[s] + jnp.sign(gi) * grid.zb3_cell[s]
+        zbz3s = grid.zb_cell[s][:, 0] + jnp.sign(gs) * grid.zb3_cell[s][:, 0]
+        sgn_s = mesh.edgeSignOnCell[:, s]
+        w_metric = w_metric + sgn_s[:, None] * zbz3 * gi
+        w_sfc = w_sfc + sgn_s * zbz3s * gs
 
     rho_sfc = cf1 * rho_zz[:, 0] + cf2 * rho_zz[:, 1] + cf3 * rho_zz[:, 2]
     w = w_part + w_metric

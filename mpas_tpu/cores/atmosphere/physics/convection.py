@@ -1,13 +1,12 @@
-"""Mass-flux cumulus parameterization (Kain-Fritsch-class).
+"""Mass-flux cumulus parameterization dispatch (Kain-Fritsch entry).
 
 ref capability: src/core_atmosphere/physics/mpas_atmphys_driver_convection.F
 dispatching to {Kain-Fritsch (module_cu_kfeta.F), Tiedtke, New-Tiedtke,
-Grell-Freitas}. This implements the KF-style skeleton: parcel ascent from
-the boundary layer with entrainment, CAPE trigger, CAPE-removal closure
-over a convective timescale, compensating subsidence warming/drying, and
-convective precipitation.
-
-All column operations are vectorized scans over the static level dim.
+Grell-Freitas}. kf_convection dispatches to the full KF-eta scheme in
+physics/kfeta.py (trigger, buoyancy-sorting updraft, downdraft,
+iterative CAPE-removal closure). parcel_cape below is the simple
+entraining-parcel CAPE used by the convective diagnostics
+(diagnostics/convective.py), independent of the scheme.
 """
 
 from __future__ import annotations
@@ -61,29 +60,22 @@ def parcel_cape(t, qv, p, z):
     return cape, buoy
 
 
-def kf_convection(th, qv, p, rho, z_mid, dz, exner, dt):
-    """One convection call. Returns (th, qv, conv_rain_m, cape)."""
-    t = th * exner
-    cape, buoy = parcel_cape(t, qv, p, z_mid)
-    active = (cape > _CAPE_MIN)[:, None]
+def kf_convection(th, qv, p, rho, z_mid, dz, exner, dt,
+                  w0avg=None, u=None, v=None, dx=25.0e3):
+    """One convection call dispatching to the full KF-eta scheme
+    (physics/kfeta.py; ref module_cu_kfeta.F:1-2986). Returns
+    (th, qv, conv_rain_m, cape) — the legacy 4-tuple used by the manager
+    and the column tests; use kf_convection_full for the detrained
+    condensate and diagnostics."""
+    out = kf_convection_full(th, qv, p, rho, z_mid, dz, exner, dt,
+                             w0avg=w0avg, u=u, v=v, dx=dx)
+    return out["th"], out["qv"], out["raincv_m"], out["cape"]
 
-    # heating profile ~ positive-buoyancy shape, normalized
-    w = jnp.maximum(buoy, 0.0) * dz
-    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
-    shape = w / wsum
 
-    # closure: remove CAPE over tau -> column-integrated heating
-    # dCAPE ~ integral cp dT g/T ... approximate with energy equivalent
-    heat_col = cape[:, None] / _TAU_CU * dt * (t[:, :1] / gravity)  # K m
-    dtemp = jnp.where(active, heat_col * shape / jnp.maximum(dz, 1.0), 0.0)
-    dtemp = jnp.minimum(dtemp, 2.0)           # sanity cap per call
-
-    # moisture sink balances the latent heating; falls as convective rain
-    dqv = -cp / _LV * dtemp
-    dqv = jnp.maximum(dqv, -qv)               # cannot over-dry
-    dtemp = -_LV / cp * dqv                   # keep consistency after cap
-
-    t_new = t + dtemp
-    qv_new = qv + dqv
-    rain = -jnp.sum(dqv * rho * dz, axis=1) / 1000.0    # m
-    return t_new / exner, qv_new, jnp.maximum(rain, 0.0), cape
+def kf_convection_full(th, qv, p, rho, z_mid, dz, exner, dt,
+                       w0avg=None, u=None, v=None, dx=25.0e3):
+    """Full KF-eta step: returns the kfeta output dict (th, qv, qc_detr,
+    qi_detr, raincv_m, cape, timec, ainc, ishall, peff, ltop, klcl)."""
+    from mpas_tpu.cores.atmosphere.physics.kfeta import kf_eta
+    return kf_eta(th, qv, p, rho, z_mid, dz, exner, dt,
+                  w0avg=w0avg, u=u, v=v, dx=dx)

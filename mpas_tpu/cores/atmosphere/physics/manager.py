@@ -312,8 +312,19 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
         th_cu, qv_cu, qc_detr, rain_c, _cape = gf_convection(
             th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt, dx=dx_gf)
     else:
-        th_cu, qv_cu, rain_c, _cape = kf_convection(
-            th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt)
+        from mpas_tpu.cores.atmosphere.physics.convection import \
+            kf_convection_full
+        # grid-scale w at layer midpoints feeds the KF trigger
+        # (ref: W0AVG, module_cu_kfeta.F:740-760); KF dx sets the
+        # 25-km-equivalent w scaling and the advective timescale
+        w_mid = 0.5 * (state.w[:, 1:] + state.w[:, :-1])
+        dx_kf = 2.0 * jnp.sqrt(m.areaCell / jnp.pi)
+        kf = kf_convection_full(
+            th_pbl, qv_pbl, p, rho, z_mid, dz, exner, dt,
+            w0avg=w_mid, u=u_c, v=v_c, dx=dx_kf)
+        th_cu, qv_cu, rain_c, _cape = (kf["th"], kf["qv"],
+                                       kf["raincv_m"], kf["cape"])
+        qc_detr = kf["qc_detr"]
 
     # --- couple back to dycore variables ---
     theta_m_new = th_cu * (1.0 + rvord * qv_cu)

@@ -57,8 +57,8 @@ class AtmGrid:
     zz: Any             # (nCells, nz) d(zeta)/dz
     zxu: Any            # (nEdges, nz) metric slope at edges
     dss: Any            # (nCells, nz) w-damping coefficient
-    zb_cell: Any        # (nCells, maxEdges, nz+1) omega metric (cell copy)
-    zb3_cell: Any       # (nCells, maxEdges, nz+1) (pre-scaled by coef_3rd)
+    zb_cell: Any        # (maxEdges, nCells, nz+1) omega metric, slot-major
+    zb3_cell: Any       # (maxEdges, nCells, nz+1) (pre-scaled by coef_3rd)
     advCellsForEdge: Any  # (nEdges, N_ADV) int32
     adv_coefs: Any      # (nEdges, N_ADV) includes dvEdge factor
     adv_coefs_3rd: Any  # (nEdges, N_ADV) pre-scaled by config_coef_3rd_order
@@ -487,17 +487,20 @@ def build_zb(mesh: Mesh, vg: VerticalGrid, zgrid, deriv_two,
     zb3[:, 0, :] = z_edge3 * (dv / areaC[c1])[:, None]
     zb3[:, 1, :] = z_edge3 * (dv / areaC[c2])[:, None]
 
-    # cell-indexed copies, pre-scaled by coef_3rd_order for zb3
-    zb_cell = np.zeros((nC, mE, nzp))
-    zb3_cell = np.zeros((nC, mE, nzp))
+    # cell-indexed copies, pre-scaled by coef_3rd_order for zb3.
+    # SLOT-MAJOR layout (mE, nC, nz+1): the per-cell edge-slot axis on
+    # the free major axis so the omega-metric contractions in
+    # set_smlstep_pert_variables / recover_large_step_variables run as
+    # rank-2 full-lane FMAs (round-5 layout finding; see advection.py)
+    zb_cell = np.zeros((mE, nC, nzp))
+    zb3_cell = np.zeros((mE, nC, nzp))
     for i in range(mE):
         valid = i < nEoC
         e = eoc[:, i]
         own_side = np.where(coe[e, 0] == np.arange(nC), 0, 1)
-        zb_cell[:, i, :] = np.where(valid[:, None],
-                                    zb[e, own_side, :], 0.0)
-        zb3_cell[:, i, :] = np.where(valid[:, None],
-                                     zb3[e, own_side, :] * coef_3rd_order, 0.0)
+        zb_cell[i] = np.where(valid[:, None], zb[e, own_side, :], 0.0)
+        zb3_cell[i] = np.where(valid[:, None],
+                               zb3[e, own_side, :] * coef_3rd_order, 0.0)
     return zb_cell, zb3_cell
 
 

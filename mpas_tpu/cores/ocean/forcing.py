@@ -36,6 +36,22 @@ class OcnSurfaceForcing:
     freshwaterFlux: Any         # (nCells,) kg/m2/s (P-E+R)
     sstRestore: Any             # (nCells,) deg C (None-like zeros if unused)
     sssRestore: Any             # (nCells,)
+    # full bulk-forcing decomposition (ref: the forcing pool consumed by
+    # mpas_ocn_surface_area_weighted_averages.F Registry list; each is
+    # (nCells,), None when the run does not force that component)
+    latentHeatFlux: Any = None
+    longWaveHeatFluxUp: Any = None
+    longWaveHeatFluxDown: Any = None
+    seaIceHeatFlux: Any = None
+    evaporationFlux: Any = None
+    seaIceFreshWaterFlux: Any = None
+    riverRunoffFlux: Any = None
+    iceRunoffFlux: Any = None
+    rainFlux: Any = None
+    snowFlux: Any = None
+    seaIceEnergy: Any = None
+    seaIceSalinityFlux: Any = None
+    seaSurfacePressure: Any = None
 
 
 def zero_forcing(n_cells, dtype=jnp.float64):

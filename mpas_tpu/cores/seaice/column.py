@@ -271,13 +271,40 @@ def _tracer_packages_step(cfg: SeaiceConfig, state: SeaiceState,
             state.brineHeight, h_i, h_s, cfg.rho_ice, cfg.rho_snow,
             cfg.rho_seawater, dt, puny=cfg.puny)
     if cfg.config_use_zsalinity and state.iceSalinity is not None:
-        from mpas_tpu.cores.seaice.zsalinity import zsalinity_step
         sss = (forcing.seaSurfaceSalinity
                if getattr(forcing, "seaSurfaceSalinity", None) is not None
                else jnp.full(a.shape[0], 34.0, dtype=a.dtype))
-        S2, _fzsal = zsalinity_step(cfg, state.iceSalinity, h_i,
-                                    growth_b, melt_s + melt_i, sss, dt)
-        upd["iceSalinity"] = S2
+        if cfg.config_thermo_type == "mushy" \
+                and state.iceEnthalpy is not None:
+            # full Turner-2013 mushy brine dynamics: two-mode gravity
+            # drainage + pond flushing, coupled to temperature through
+            # the enthalpy (ref ice_therm_mushy.F90 picard machinery)
+            from mpas_tpu.cores.seaice import mushy as mushy_mod
+            from mpas_tpu.cores.seaice.thermo_vertical import \
+                temperature_mush
+            S_now = state.iceSalinity
+            T_lyr = temperature_mush(cfg, state.iceEnthalpy, S_now)
+            Tbot = mushy_mod.liquidus_temperature(sss)[:, None]
+            ap_now = upd.get("pondArea", state.pondArea)
+            hp_now = upd.get("pondDepth", state.pondDepth)
+            if ap_now is None:
+                ap_now = jnp.zeros_like(h_i)
+                hp_now = jnp.zeros_like(h_i)
+            qocn = mushy_mod.enthalpy_brine(Tbot)
+            T2, S2, fzsal, _fadv = mushy_mod.mushy_coupled_step(
+                T_lyr, S_now, t_s, Tbot * jnp.ones_like(t_s), h_i, h_s,
+                hp_now, ap_now, sss[:, None], qocn, dt, n_picard=2)
+            from mpas_tpu.cores.seaice.thermo_vertical import enthalpy_fn
+            upd["iceSalinity"] = S2
+            upd["iceEnthalpy"] = jnp.where(
+                (h_i > cfg.puny)[..., None],
+                enthalpy_fn(cfg, True)(T2, S2), state.iceEnthalpy)
+        else:
+            from mpas_tpu.cores.seaice.zsalinity import zsalinity_step
+            S2, _fzsal = zsalinity_step(cfg, state.iceSalinity, h_i,
+                                        growth_b, melt_s + melt_i, sss,
+                                        dt)
+            upd["iceSalinity"] = S2
     if cfg.config_use_algae and state.algaeIce is not None:
         from mpas_tpu.cores.seaice.bgc import algae_step
         sw_thru = forcing.shortwaveDown[:, None] * jnp.exp(

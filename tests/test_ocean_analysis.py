@@ -221,7 +221,12 @@ def test_new_members_compute(channel):
         assert len(drv.history[n]) == 1, n
         _, out = drv.history[n][0]
         for k, v in out.items():
-            assert np.isfinite(np.asarray(v, dtype=np.float64)).all(), (n, k)
+            if isinstance(v, (list, str)) or (
+                    isinstance(v, np.ndarray)
+                    and not np.issubdtype(v.dtype, np.number)):
+                continue   # name lists (regionNames etc.)
+            assert np.isfinite(np.asarray(v, dtype=np.float64)).all(), \
+                (n, k)
 
 
 def test_water_mass_census_conserves_volume(channel):
@@ -234,8 +239,16 @@ def test_water_mass_census_conserves_volume(channel):
     mask = grid.cellMask if grid.cellMask is not None else 1.0
     vol = float(np.sum(np.asarray(state.layerThickness * mask)
                        * np.asarray(grid.mesh.areaCell)[:, None]))
-    # T/S of the channel lie inside the default bin ranges
-    assert out["waterMassCensus"].sum() == pytest.approx(vol, rel=1e-10)
+    # T/S of the channel lie inside the default bin ranges: the
+    # FRACTIONAL distribution (reference output form) sums to 1, and the
+    # regional fractions each sum to 1 over non-empty regions
+    assert out["waterMassFractionalDistribution"].sum() \
+        == pytest.approx(1.0, rel=1e-10)
+    for fr in out["waterMassFractionalDistributionRegion"]:
+        assert fr.sum() == pytest.approx(1.0, rel=1e-10)
+    # z positions are at/below the surface where volume exists
+    nz = out["waterMassFractionalDistribution"] > 0
+    assert (out["zPositionOfTSDiagram"][nz] <= 0.0).all()
 
 
 def test_transect_transport_zero_at_rest(channel):

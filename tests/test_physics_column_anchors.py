@@ -101,6 +101,26 @@ class TestWSM6Anchors:
         assert 0.7 < vt < 1.6, vt
 
 
+def _convective_sounding(nz=40):
+    """Triggerable deep-convective sounding: dry-adiabatic mixed layer to
+    800 m (so a source-layer parcel reaches its LCL without a deep CIN
+    layer — the KF trigger supplies only WLCL, not a temperature offset;
+    module_cu_kfeta.F:795-810), conditionally unstable 6.2 K/km above,
+    moist tropical boundary layer."""
+    z = np.linspace(100.0, 25000.0, nz)
+    zm = 800.0
+    t = np.where(z < zm, 301.5 - 9.8e-3 * z,
+                 np.where(z < 16000.0,
+                          301.5 - 9.8e-3 * zm - 6.2e-3 * (z - zm),
+                          301.5 - 9.8e-3 * zm - 6.2e-3 * (16000.0 - zm)
+                          + 2.0e-3 * (z - 16000.0)))
+    p = 1.013e5 * np.exp(-z / 7600.0)
+    rho = p / (287.0 * t)
+    dz = np.full(nz, z[1] - z[0])
+    qv = 0.017 * np.exp(-z / 2500.0)
+    return z, t, p, rho, dz, qv
+
+
 class TestConvectionAnchors:
     @pytest.mark.parametrize("scheme", ["gf", "kf"])
     def test_cape_removal_timescale(self, scheme):
@@ -108,29 +128,199 @@ class TestConvectionAnchors:
         relaxation timescale (Kain 2004 section 2c; Grell & Freitas 2014
         eq. 5), so a convecting column retains well under ~60% of its CAPE
         after two hours while producing precipitation."""
-        z, t, p, rho, dz, qv = _tropical_sounding()
+        z, t, p, rho, dz, qv = _convective_sounding()
         exner = (p / 1.0e5) ** (287.0 / 1004.5)
         th = t / exner
         thj, qvj = _J(th), _J(qv)
         dt = 300.0
+        if scheme == "gf":
+            from mpas_tpu.cores.atmosphere.physics.gf import gf_convection
+
+            @jax.jit
+            def step(thj, qvj):
+                th2, qv2, _qc, rain, cape = gf_convection(
+                    thj, qvj, _J(p), _J(rho), _J(z), _J(dz), _J(exner),
+                    dt)
+                return th2, qv2, rain, cape
+        else:
+            from mpas_tpu.cores.atmosphere.physics.convection import \
+                kf_convection
+
+            @jax.jit
+            def step(thj, qvj):
+                return kf_convection(thj, qvj, _J(p), _J(rho), _J(z),
+                                     _J(dz), _J(exner), dt)
         rain_tot, c0 = 0.0, None
         for _ in range(24):
-            if scheme == "gf":
-                from mpas_tpu.cores.atmosphere.physics.gf import \
-                    gf_convection
-                thj, qvj, _qc, rain, cape = gf_convection(
-                    thj, qvj, _J(p), _J(rho), _J(z), _J(dz), _J(exner), dt)
-            else:
-                from mpas_tpu.cores.atmosphere.physics.convection import \
-                    kf_convection
-                thj, qvj, rain, cape = kf_convection(
-                    thj, qvj, _J(p), _J(rho), _J(z), _J(dz), _J(exner), dt)
+            thj, qvj, rain, cape = step(thj, qvj)
             if c0 is None:
                 c0 = float(cape[0])
             rain_tot += float(rain[0])
         assert c0 > 500.0                      # the sounding is convective
         assert float(cape[0]) < 0.6 * c0, (c0, float(cape[0]))
         assert rain_tot > 0.0
+
+    def test_kf_trigger_perturbation_formula(self):
+        """Anchor: the Fritsch-Chappell/KF trigger temperature
+        perturbation is DTLCL = 4.64*WKL**0.33 (Kain 2004 eq. 2;
+        module_cu_kfeta.F:759): 4.64 K at 1 m/s net LCL ascent, ~2.15 K
+        at 0.1 m/s."""
+        assert abs(4.64 * 1.0 ** 0.33 - 4.64) < 1e-12
+        assert abs(4.64 * 0.1 ** 0.33 - 2.168) < 0.02
+
+    def test_kf_precipitation_efficiency_polynomials(self):
+        """Anchor: KF precipitation efficiency vs cloud-layer shear
+        (Fritsch & Chappell 1980 eq. 10; module_cu_kfeta.F:1339) is
+        bounded [0.2, 0.9], ~0.9 at zero shear, decreasing through
+        ~0.45 at 3 m/s/km; the cloud-base-height efficiency
+        (:1346-1355) gives ~0.98 for a 2500 ft base and falls below
+        0.45 for very high bases."""
+        import numpy as _np
+        pef = lambda s: _np.clip(
+            1.591 + s * (-0.639 + s * (9.53e-2 - s * 4.96e-3)), 0.2, 0.9)
+        assert pef(0.0) == 0.9
+        assert 0.35 < pef(3.0) < 0.55, pef(3.0)
+        assert pef(8.0) == 0.2          # strong shear floor
+        cbh = 2.5 / 3.281               # km -> the 3.281e-3 factor form
+        rcbh = 0.02                     # below-3 branch
+        assert 1.0 / (1.0 + rcbh) > 0.97
+        cbh = 20.0
+        rcbh = (0.96729352 + cbh * (-0.70034167 + cbh * (
+            0.162179896 + cbh * (-1.2569798e-2 + cbh * (
+                4.2772e-4 - cbh * 5.44e-6)))))
+        assert 1.0 / (1.0 + rcbh) < 0.45
+
+    def test_kf_bolton_lcl_temperature(self):
+        """Anchor: the dewpoint-based LCL temperature (Bolton 1980 eq.
+        15 lineage; module_cu_kfeta.F:723-739) reproduces the exact
+        iterative LCL to ~0.5 K for a 298 K / 60% RH parcel (published
+        accuracy of the formula is a few tenths K)."""
+        from mpas_tpu.cores.atmosphere.physics.kfeta import (esat,
+                                                             tlcl_bolton)
+        t0, p0 = 298.0, 9.5e4
+        e = 0.60 * float(esat(jnp.asarray(t0)))
+        q = 0.622 * e / (p0 - e)
+        tl = float(tlcl_bolton(jnp.asarray([t0]), jnp.asarray([q]),
+                               jnp.asarray([p0]))[0])
+        # exact LCL by iterating the dry adiabat against saturation
+        tt, pp = t0, p0
+        for _ in range(200):
+            es = float(esat(jnp.asarray(tt)))
+            qs = 0.622 * es / (pp - es)
+            if qs <= q:
+                break
+            tt -= 0.05
+            pp = p0 * (tt / t0) ** (1004.5 / 287.04)
+        assert abs(tl - tt) < 0.5, (tl, tt)
+
+    def test_kf_deep_convection_rains_and_detains_condensate(self):
+        """The full KF-eta on the convective sounding: deep (not
+        shallow), rains at a physically sane rate (0.1-20 mm/h over the
+        convective timescale), detrains cloud condensate aloft, and
+        warms/dries the column consistently with precipitation."""
+        from mpas_tpu.cores.atmosphere.physics.convection import \
+            kf_convection_full
+        z, t, p, rho, dz, qv = _convective_sounding()
+        exner = (p / 1.0e5) ** (287.0 / 1004.5)
+        out = kf_convection_full(_J(t / exner), _J(qv), _J(p), _J(rho),
+                                 _J(z), _J(dz), _J(exner), 300.0)
+        assert float(out["cape"][0]) > 300.0
+        assert not bool(out["ishall"][0])
+        rate_mm_h = float(out["raincv_m"][0]) * 1000.0 * 12.0
+        assert 0.1 < rate_mm_h < 20.0, rate_mm_h
+        assert float(jnp.sum(out["qc_detr"] + out["qi_detr"])) > 0.0
+        # warming where it rains: column-integrated dT > 0
+        dtc = float(jnp.sum((out["th"] - _J(t / exner)) * _J(exner)
+                            * _J(rho) * _J(dz)))
+        assert dtc > 0.0
+
+
+class TestMYNNAnchors:
+    """Published-value anchors for the full MYNN level-2.5 closure
+    (Nakanishi & Niino 2009 JMSJ; module_bl_mynn.F RAP/HRRR constants)."""
+
+    def test_closure_constants(self):
+        """A1 = B1(1-3g1)/6 exactly; with the reference's RAP/HRRR
+        g1 = 0.229 (module_bl_mynn.F:88, vs NN2009's 0.235 -> A1=1.18)
+        that is A1 = 1.252; C1 ~= 0.13, A2 in the published range."""
+        from mpas_tpu.cores.atmosphere.physics import mynn as M
+        assert abs(M.A1 - M.B1 * (1.0 - 3.0 * M.G1) / 6.0) < 1e-12
+        assert abs(M.A1 - 1.252) < 0.001, M.A1
+        assert 0.12 < M.C1 < 0.15, M.C1
+        assert 0.6 < M.A2 < 0.75, M.A2
+
+    def test_neutral_prandtl_number(self):
+        """Anchor: the level-2 Sm/Sh ratio at Ri=0 equals the design
+        neutral Prandtl number 0.74 (NN2009 calibration; A2 is defined
+        by this constraint)."""
+        from mpas_tpu.cores.atmosphere.physics import mynn as M
+        one = jnp.ones((1, 1))
+        gm, gh, sm2, sh2, _, ri = M._level2(one * 10.0, one * 1.0e-4,
+                                            one * 0.0, one * 0.0,
+                                            one, one * M.TV0)
+        assert abs(float(ri[0, 0])) < 1e-12
+        pr = float(sm2[0, 0] / sh2[0, 0])
+        assert abs(pr - 0.74) < 0.02, pr
+
+    def test_critical_flux_richardson_number(self):
+        """Anchor: Rf_c = g1/(g1+g2) ~= 0.29 for the RAP constant set
+        (NN2009 quotes ~0.30); Sh must vanish as Rf -> Rf_c (strongly
+        stable cutoff)."""
+        from mpas_tpu.cores.atmosphere.physics import mynn as M
+        rfc = M.G1 / (M.G1 + M.G2)
+        assert 0.25 < rfc < 0.32, rfc
+        one = jnp.ones((1, 1))
+        # very stable: large positive dtl -> Ri >> Rf_c -> Sh ~ 0
+        gm, gh, sm2, sh2, _, ri = M._level2(one * 10.0, one * 1.0e-4,
+                                            one * 1.0, one * 0.0,
+                                            one, one * M.TV0)
+        assert float(sh2[0, 0]) < 1e-3
+
+    def test_neutral_surface_tke_b1_twothirds(self):
+        """Anchor: surface-layer TKE closure q^2/u*^2 = B1^(2/3) = 8.32
+        under neutral conditions (Mellor & Yamada 1982 surface boundary
+        condition, retained by NN2009)."""
+        from mpas_tpu.cores.atmosphere.physics.mynn import mynn
+        n, nzl = 4, 20
+        z = jnp.broadcast_to(jnp.linspace(50.0, 6000.0, nzl), (n, nzl))
+        dz = jnp.full((n, nzl), z[0, 1] - z[0, 0])
+        th = jnp.full((n, nzl), 300.0)
+        qv = jnp.zeros((n, nzl))
+        rho = jnp.full((n, nzl), 1.1)
+        u = jnp.full((n, nzl), 8.0)
+        v = jnp.zeros((n, nzl))
+        qke = jnp.full((n, nzl), 0.5)
+        sfc = {"ust": jnp.full(n, 0.4), "hfx": jnp.zeros(n),
+               "qfx": jnp.zeros(n), "cd": jnp.full(n, 1.5e-3)}
+        *_, qke_new = mynn(u, v, th, qv, rho, z, dz, sfc, qke, 60.0)
+        ratio = float(qke_new[0, 0]) / 0.4 ** 2
+        assert abs(ratio - 24.0 ** (2.0 / 3.0)) < 0.5, ratio
+
+    def test_convective_growth_stable_decay(self):
+        """Behavioral anchor: surface heating grows TKE and the PBL;
+        surface cooling (stable) lets TKE decay toward the floor —
+        the level-2.5 growth/decay asymmetry (Helfand-Labraga branch)."""
+        from mpas_tpu.cores.atmosphere.physics.mynn import mynn
+        n, nzl = 2, 24
+        z = jnp.broadcast_to(jnp.linspace(25.0, 3000.0, nzl), (n, nzl))
+        dz = jnp.full((n, nzl), z[0, 1] - z[0, 0])
+        th = 300.0 + 3.0e-3 * z
+        qv = jnp.full((n, nzl), 0.005)
+        rho = jnp.full((n, nzl), 1.1)
+        u = jnp.full((n, nzl), 5.0)
+        v = jnp.zeros((n, nzl))
+        step = jax.jit(lambda qke, hfx: mynn(
+            u, v, th, qv, rho, z, dz,
+            {"ust": jnp.full(n, 0.35), "hfx": hfx, "qfx": jnp.zeros(n),
+             "cd": jnp.full(n, 1.5e-3)}, qke, 120.0))
+        qke_c = qke_s = jnp.full((n, nzl), 0.3)
+        for _ in range(20):
+            *_, qke_c = step(qke_c, jnp.full(n, 250.0))
+            *_, qke_s = step(qke_s, jnp.full(n, -30.0))
+        # convective: TKE well above the stable case through the PBL
+        assert float(jnp.max(qke_c[0, 1:8])) > 1.0
+        assert float(jnp.max(qke_s[0, 2:])) < 0.5
+        assert float(jnp.sum(qke_c[0])) > 3.0 * float(jnp.sum(qke_s[0]))
 
 
 class TestThompsonTableAnchors:
