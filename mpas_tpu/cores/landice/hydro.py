@@ -1,18 +1,29 @@
-"""Subglacial hydrology (distributed sheet model).
+"""Subglacial hydrology: distributed sheet + channelized drainage.
 
-ref: src/core_landice/mode_forward/mpas_li_subglacial_hydro.F (1,757 LoC):
-li_SGH_init (:75) / li_SGH_solve (:206) — evolves the basal water sheet:
-  d(W)/dt = melt_input/rho_w - C_d (till drainage) - div(q)
-  q = -k W^alpha |grad(phi)|^(beta-2) grad(phi)     (sheet flux law)
-  phi = rho_w g z_b + rho_i g H  (hydraulic potential, zero water pressure
-        approximation for the v1 sheet; the full model evolves effective
-        pressure N and channels)
-plus a till reservoir with capacity tillMax. Channels
-(config_SGH_chnl_active) are a later milestone.
+ref: src/core_landice/mode_forward/mpas_li_subglacial_hydro.F (1,757 LoC),
+a GlaDS-class model (Werder et al. 2013 lineage):
 
-TPU redesign: upwinded sheet flux on edges from the potential gradient,
-masked sums per cell, forward-Euler (the reference subcycles with an
-advective CFL; here a fixed substep count per outer step).
+- distributed sheet: d(W)/dt = melt/rho_w - dWtill/dt - div(q)
+  - div(Q_chnl), q = -k W^alpha |grad phi|^(beta-2) grad phi
+  (calc_edge_quantities :666-872)
+- prognostic water pressure, 'cavity' closure (calc_pressure
+  :1117-1268): dP/dt = (closing - opening + input - till change
+  - div q - div Q - channel area change) * rho_w g / porosity;
+  opening = bedRough * |u_b| * (bedRoughMax - W), closing
+  = creepCoeff * A * N^3 * W, N = rho_i g H - P clamped to [0, overburden]
+- till reservoir with capacity tillMax and constant drainage
+- channels on edges (update_channel :1363-1524, evolve_channel
+  :1538-1614): discharge Q = -Kc S^alpha_c |grad phi|^(beta_c-2)
+  d(phi)/ds, opening from dissipation melt (channel + incipient-sheet
+  width) minus the pressure-melt freeze-on term, creep closing
+  2A/27-genre with the reference coefficient, dS/dt integrated on edges
+  with cell-divergence feedback into W and P
+- hydropotential phi = rho_w g z_b + P_w (full model) or the
+  zero-water-pressure form (compressed sgh_step retained)
+
+TPU redesign: upwinded edge fluxes, masked per-cell assembles,
+fixed-substep forward Euler (the reference's adaptive CFL subcycling
+becomes a static n_sub), no per-cell control flow.
 """
 
 from __future__ import annotations
@@ -29,11 +40,17 @@ from mpas_tpu.cores.landice.config import LiConfig
 class HydroState:
     waterThickness: Any     # (nCells,) m — the distributed sheet
     tillWater: Any          # (nCells,) m — till reservoir
+    waterPressure: Any = None   # (nCells,) Pa — prognostic (full model)
+    channelArea: Any = None     # (nEdges,) m^2 — channel cross-section
 
 
-def zero_hydro(n_cells, dtype=jnp.float64) -> HydroState:
+def zero_hydro(n_cells, dtype=jnp.float64, n_edges=None) -> HydroState:
     z = jnp.zeros((n_cells,), dtype=dtype)
-    return HydroState(waterThickness=z, tillWater=z)
+    return HydroState(
+        waterThickness=z, tillWater=z,
+        waterPressure=z if n_edges is not None else None,
+        channelArea=(jnp.zeros((n_edges,), dtype=dtype)
+                     if n_edges is not None else None))
 
 
 # sheet-flux law constants (ref: config_SGH_conduc_coeff, alpha/beta
@@ -102,3 +119,154 @@ def basal_melt_from_thermal(grid, cfg: LiConfig, thickness, temperature):
         273.15 - temperature[:, -2], 0.0) / dz_b
     melt = jnp.maximum(cfg.config_geothermal_flux - cond_out, 0.0) / latent
     return jnp.where(temperate & (thickness > 1.0), melt, 0.0)
+
+
+# -- full GlaDS-class model (ref li_SGH_solve :206-586) ----------------------
+_POROSITY = 0.01          # config_SGH_englacial_porosity
+_BED_ROUGH = 0.5          # config_SGH_bed_roughness (1/m)
+_BED_ROUGH_MAX = 0.1      # config_SGH_bed_roughness_max (m)
+_CREEP = 0.04             # config_SGH_creep_coefficient
+_KC = 0.1                 # config_SGH_chnl_conduc_coeff
+_ALPHA_C = 1.25           # config_SGH_chnl_alpha
+_BETA_C = 1.5             # config_SGH_chnl_beta
+_CREEP_C = 0.04           # config_SGH_chnl_creep_coefficient
+_W_INCIPIENT = 2.0        # config_SGH_incipient_channel_width (m)
+_LATENT = 3.34e5          # J/kg
+_CP_W = 4218.0
+_CC_SLOPE = 7.9e-8        # iceMeltingPointPressureDependence (K/Pa)
+_FLOW_A = 2.4e-24         # Pa^-3 s^-1 basal flow-law parameter (EISMINT)
+
+
+def sgh_step_full(grid, cfg: LiConfig, hydro: HydroState, thickness,
+                  basal_melt_rate, basal_speed, dt, n_sub: int = 8,
+                  channels: bool = True) -> HydroState:
+    """Full distributed+channelized step with prognostic water pressure
+    (ref li_SGH_solve sequence: edge quantities -> channels -> water
+    thickness -> till -> pressure).
+
+    basal_speed: (nCells,) m/s sliding speed (drives cavity opening).
+    Returns the advanced HydroState (waterPressure/channelArea filled).
+    """
+    m = grid.mesh
+    coe = m.cellsOnEdge
+    not_bnd = 1.0 - m.boundaryEdge
+    has_ice = (thickness > 1.0).astype(thickness.dtype)
+    overburden = cfg.rho_ice * cfg.gravity * thickness
+
+    w = hydro.waterThickness
+    till = hydro.tillWater
+    P = (hydro.waterPressure if hydro.waterPressure is not None
+         else 0.5 * overburden)
+    S = (hydro.channelArea if hydro.channelArea is not None
+         else jnp.zeros(m.nEdges, thickness.dtype))
+
+    dts = dt / n_sub
+    for _ in range(n_sub):
+        # hydropotential with the prognostic pressure (ref :750-787)
+        phi = _RHO_W * cfg.gravity * grid.bedTopography + P
+        gphi = (phi[coe[:, 1]] - phi[coe[:, 0]]) * m.invDcEdge * not_bnd
+        gP = (P[coe[:, 1]] - P[coe[:, 0]]) * m.invDcEdge * not_bnd
+        gmag = jnp.maximum(jnp.abs(gphi), 1e-3)
+
+        # sheet flux (upwind W), limited by the water available in the
+        # upwind cell per substep (the reference's advective CFL,
+        # check_timestep :888-1102, as a flux limiter)
+        w_up = jnp.where(gphi < 0.0, w[coe[:, 0]], w[coe[:, 1]])
+        q = -_K_SHEET * jnp.maximum(w_up, 0.0) ** _ALPHA \
+            * gmag ** (_BETA - 2.0) * gphi * not_bnd
+        qmax = 0.25 * jnp.minimum((w * m.areaCell)[coe[:, 0]],
+                                  (w * m.areaCell)[coe[:, 1]]) \
+            / (m.dvEdge * dts) + 1.0e-14
+        q = jnp.clip(q, -qmax, qmax)
+        div_q = jnp.sum(m.edgeSignOnCell
+                        * (q * m.dvEdge)[m.edgesOnCell], axis=1) \
+            * m.invAreaCell
+
+        # channels (ref update_channel :1440-1524). The reference bounds
+        # the melt-opening feedback with its adaptive channel CFL
+        # (check_timestep :1094-1100); at a static dts that becomes (a)
+        # creep closing treated implicitly, (b) per-substep opening
+        # capped at a doubling of S, (c) discharge limited by the water
+        # actually available in the adjacent sheet
+        if channels:
+            Qc = jnp.where(gmag < 0.01, 0.0,
+                           -_KC * jnp.maximum(S, 0.0) ** _ALPHA_C
+                           * gmag ** (_BETA_C - 2.0) * gphi) * not_bnd
+            qlim = 0.25 * jnp.minimum(
+                (w * m.areaCell)[coe[:, 0]],
+                (w * m.areaCell)[coe[:, 1]]) / dts + 1.0e-12
+            Qc = jnp.clip(Qc, -qlim, qlim)
+            melt_c = (jnp.abs(Qc * gphi)
+                      + jnp.abs(q * gphi * _W_INCIPIENT)) / _LATENT
+            p_freeze = -_CC_SLOPE * _CP_W * _RHO_W \
+                * (Qc + q * _W_INCIPIENT) * gP / _LATENT
+            open_c = jnp.maximum((melt_c - p_freeze) / cfg.rho_ice, 0.0)
+            N_edge = 0.5 * (jnp.clip(overburden - P, 0.0, None)[coe[:, 0]]
+                            + jnp.clip(overburden - P, 0.0,
+                                       None)[coe[:, 1]])
+            close_rate = _CREEP_C * _FLOW_A * N_edge ** 3      # 1/s
+            growth = jnp.minimum(dts * open_c,
+                                 jnp.maximum(S, 1.0e-6))
+            # physical R-channel areas are O(1-10 m^2); the cap stands
+            # in for the reference's channel CFL during spin-up bursts
+            S_new = jnp.minimum(
+                (S + growth) / (1.0 + dts * close_rate), 50.0) * not_bnd
+            dS_eff = (S_new - S) / dts
+            S = S_new
+            div_Qc = jnp.sum(m.edgeSignOnCell
+                             * Qc[m.edgesOnCell], axis=1) * m.invAreaCell
+            dSdt_cell = jnp.sum(
+                jnp.abs(m.edgeSignOnCell)
+                * (dS_eff * m.dcEdge * 0.5)[m.edgesOnCell],
+                axis=1) * m.invAreaCell
+        else:
+            div_Qc = jnp.zeros_like(div_q)
+            dSdt_cell = jnp.zeros_like(div_q)
+
+        # till reservoir (ref :? till ordering)
+        fill = jnp.clip(basal_melt_rate * dts, 0.0, _TILL_MAX - till)
+        till_new = jnp.clip(till + fill - _TILL_DRAIN * dts, 0.0,
+                            _TILL_MAX)
+        dtill_dt = (till_new - till) / dts
+        to_sheet = basal_melt_rate - dtill_dt
+
+        # cavity opening/closing (ref calc_pressure :1165-1170)
+        N = jnp.clip(overburden - P, 0.0, None)
+        opening = jnp.maximum(
+            _BED_ROUGH * basal_speed * (_BED_ROUGH_MAX - w), 0.0)
+        closing = _CREEP * _FLOW_A * N ** 3 * w
+
+        # water sheet update with a per-substep change cap (explicit
+        # stability guard standing in for the reference's adaptive dt)
+        dw = dts * (to_sheet + opening - closing
+                    - div_q - div_Qc - dSdt_cell)
+        dw = jnp.clip(dw, -jnp.maximum(0.5 * w, 1.0e-3),
+                      jnp.maximum(0.5 * w, 1.0e-3))
+        w = jnp.maximum(w + dw, 0.0) * has_ice
+        till = till_new * has_ice
+
+        # pressure, 'cavity' closure (ref :1180-1196) integrated toward
+        # its STIFF-LIMIT attractor: the reference evolves dP/dt with an
+        # adaptive deltatSGH that collapses to the ~seconds pressure
+        # timescale, whose attractor is the quasi-steady balance
+        # closing(P) = opening - input + div (N = cbrt(rhs/(creep A W))).
+        # Relaxing P toward that attractor over tau_p keeps the
+        # cell-to-cell pressure field smooth at climate substeps.
+        rhs = jnp.maximum(opening - to_sheet + div_q + div_Qc
+                          + dSdt_cell, 0.0)
+        N_qs = (rhs / (_CREEP * _FLOW_A
+                       * jnp.maximum(w, 1.0e-4))) ** (1.0 / 3.0)
+        P_qs = jnp.clip(overburden - N_qs, 0.0, overburden)
+        tau_p = 2.0 * 86400.0
+        P = P + (P_qs - P) * jnp.minimum(dts / tau_p, 1.0)
+        P = jnp.clip(P, 0.0, overburden) * has_ice
+    return HydroState(waterThickness=w, tillWater=till, waterPressure=P,
+                      channelArea=S)
+
+
+def effective_pressure(cfg: LiConfig, hydro: HydroState, thickness):
+    """N = rho_i g H - P_w (ref calc_pressure_diag_vars :1281-1348)."""
+    overburden = cfg.rho_ice * cfg.gravity * thickness
+    P = (hydro.waterPressure if hydro.waterPressure is not None
+         else jnp.zeros_like(thickness))
+    return jnp.clip(overburden - P, 0.0, None)

@@ -130,3 +130,57 @@ def thermal_solve_enthalpy(grid, cfg, thickness, temperature, waterFrac,
     T = jnp.where(active, T, temperature)
     w = jnp.where(active, w, 0.0)
     return T, w, jnp.where(thickness > 1.0, basal_melt, 0.0)
+
+
+def basal_energy_balance(cfg, thickness, temperature, waterFrac,
+                         basal_friction_flux, basal_water_thickness,
+                         dt):
+    """Grounded basal energy balance -> basal mass balance (m ice/s,
+    negative = melt), basal temperature, and the conductive flux
+    (ref: basal_melt_grounded_ice, mpas_li_thermal.F:2632-2881).
+
+    net = friction + geothermal + conductive(into bed);
+    mass balance = -net / (L rho - q_bottom); a melting bed with no
+    stored water is nudged just below the pressure-melting point, and a
+    cold bed cannot melt."""
+    nz = temperature.shape[-1]
+    h = jnp.maximum(thickness, 10.0)
+    dz_bot = h * (1.0 / nz)
+    t_pmp_bed = _T0 - BETA_CC * cfg.rho_ice * cfg.gravity * h
+    t_bot = temperature[:, -1]
+    # conductive flux from the bed into the ice interior (positive up);
+    # into-bed flux is its negative
+    flux_up = K_COLD * (t_pmp_bed - t_bot) / (0.5 * dz_bot)
+    conductive_down = -flux_up
+    net = basal_friction_flux + cfg.config_geothermal_flux \
+        + conductive_down
+    # bmb = -net / (L rho_i - q_bottom)  [ref :2765, q in J/m3]
+    q_bot = cfg.rho_ice * enthalpy_from_tw(t_bot, waterFrac[:, -1])
+    denom = jnp.maximum(L_FUS * cfg.rho_ice - q_bot, 1.0e6)
+    bmb = -net / denom                                # m ice / s
+    bmb = jnp.where(thickness > 1.0, bmb, 0.0)
+    # a cold bed cannot melt; freeze-on requires basal water
+    cold = t_bot < t_pmp_bed - 1.0e-3
+    bmb = jnp.where(cold & (bmb < 0.0), 0.0, bmb)
+    bmb = jnp.where((bmb > 0.0) & (basal_water_thickness <= 0.0), 0.0,
+                    bmb)
+    basal_temperature = jnp.minimum(t_bot, t_pmp_bed)
+    return bmb, basal_temperature, conductive_down
+
+
+def basal_melt_floating(cfg, thickness, bed_topography, ocean_temperature,
+                        gamma_t: float = 1.0e-4):
+    """Ocean-driven melt under floating ice, thermal-forcing form
+    (ref: li_basal_melt_floating_ice, mpas_li_thermal.F:1403-1584,
+    'temperature_forcing' genre): melt = gamma_T c_w rho_w / (rho_i L)
+    * (T_ocn - T_freeze(draft)), with the pressure/salinity freezing
+    point at the ice draft. Returns m ice/s (positive = melt)."""
+    rho_w, c_w = 1028.0, 3974.0
+    draft = jnp.minimum(bed_topography + 0.0, 0.0)
+    # floating: draft = -rho_i/rho_w * H
+    draft = -cfg.rho_ice / rho_w * thickness
+    t_freeze = _T0 - 1.85 - 7.61e-4 * (-draft)     # C->K offsets inline
+    forcing = jnp.maximum(ocean_temperature - t_freeze, 0.0)
+    melt = gamma_t * c_w * rho_w / (cfg.rho_ice * L_FUS) * forcing
+    floating = bed_topography < -cfg.rho_ice / rho_w * thickness
+    return jnp.where(floating & (thickness > 1.0), melt, 0.0)

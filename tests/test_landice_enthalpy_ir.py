@@ -122,3 +122,66 @@ def test_full_enthalpy_run_stable(dome):
     assert out.waterFrac is not None
     assert np.all(np.asarray(out.waterFrac) >= 0.0)
     assert np.all(np.asarray(out.waterFrac) <= te.W_MAX + 1e-12)
+
+
+class TestBasalEnergyBalance:
+    """ref basal_melt_grounded_ice / li_basal_melt_floating_ice."""
+
+    def _setup(self):
+        from mpas_tpu.mesh.planar import box_hex_mesh
+        from mpas_tpu.cores.landice.config import LiConfig
+        from mpas_tpu.cores.landice.init_dome import init_halfar
+        mesh = box_hex_mesh(10, 10, 5000.0)
+        cfg = LiConfig()
+        grid, state, _ = init_halfar(mesh, cfg, h0=800.0, r0=20000.0)
+        return mesh, cfg, grid, state
+
+    def test_cold_bed_no_melt_warm_bed_melts(self):
+        from mpas_tpu.cores.landice.thermal_enthalpy import (
+            basal_energy_balance)
+        mesh, cfg, grid, state = self._setup()
+        nz = cfg.config_nvertlevels
+        h = state.thickness
+        wf = jnp.zeros((mesh.nCells, nz))
+        fric = jnp.full(mesh.nCells, 0.05)           # 50 mW/m2 friction
+        bw = jnp.full(mesh.nCells, 0.01)
+        t_cold = jnp.full((mesh.nCells, nz), 250.0)
+        bmb_c, tb_c, _ = basal_energy_balance(cfg, h, t_cold, wf, fric,
+                                              bw, 3600.0)
+        sel = np.asarray(h) > 1.0
+        assert (np.asarray(bmb_c)[sel] >= 0.0).all()   # no melt, cold bed
+        # temperate bed: conductive drain ~0, friction+geo melt
+        t_pmp = 273.15 - 9.8e-8 * cfg.rho_ice * cfg.gravity \
+            * np.asarray(jnp.maximum(h, 10.0))
+        t_warm = jnp.broadcast_to(jnp.asarray(t_pmp)[:, None],
+                                  (mesh.nCells, nz))
+        bmb_w, tb_w, cond = basal_energy_balance(cfg, h, t_warm, wf,
+                                                 fric, bw, 3600.0)
+        assert (np.asarray(bmb_w)[sel] < 0.0).all()    # melting
+        # melt magnitude ~ (geo+fric)/(rho L): 0.092 W/m2 -> ~9.6 mm/yr
+        rate = -np.asarray(bmb_w)[sel].max() * 3.15e7
+        expect = (cfg.config_geothermal_flux + 0.05) \
+            / (cfg.rho_ice * 3.34e5) * 3.15e7
+        assert abs(rate - expect) / expect < 0.1, (rate, expect)
+        assert (np.asarray(tb_w)[sel] <= np.asarray(t_pmp)[sel] + 1e-9).all()
+
+    def test_floating_melt_thermal_forcing(self):
+        from mpas_tpu.cores.landice.thermal_enthalpy import (
+            basal_melt_floating)
+        mesh, cfg, grid, state = self._setup()
+        h = jnp.full(mesh.nCells, 300.0)
+        bed = jnp.full(mesh.nCells, -600.0)          # floating (draft 268m)
+        warm = basal_melt_floating(cfg, h, bed,
+                                   jnp.full(mesh.nCells, 274.5))
+        cold = basal_melt_floating(cfg, h, bed,
+                                   jnp.full(mesh.nCells, 271.0))
+        assert float(jnp.max(warm)) > 0.0
+        assert float(jnp.max(warm)) > float(jnp.max(cold))
+        # gamma_T = 1e-4 linear forcing: ~40 m/yr per degree of thermal
+        # forcing (ISMIP6-range sensitivity); ~3 C here
+        myr = float(jnp.max(warm)) * 3.15e7
+        assert 10.0 < myr < 300.0, myr
+        # grounded ice: no ocean melt
+        grounded = basal_melt_floating(cfg, h, jnp.zeros(mesh.nCells),
+                                       jnp.full(mesh.nCells, 274.5))
+        assert float(jnp.max(grounded)) == 0.0

@@ -87,3 +87,86 @@ class TestGlobalStats:
             vol_direct, rel=1e-6)                       # all grounded
         # max cell-center thickness sits slightly off the analytic peak
         assert out["maxThickness"] == pytest.approx(500.0, rel=0.03)
+
+
+class TestFullGladsModel:
+    """Full distributed+channelized model with prognostic pressure
+    (ref li_SGH_solve/calc_pressure/update_channel; SHMIP-genre
+    behavioral anchors: de Fleurian et al. 2018 suites A/B)."""
+
+    def _run(self, dome, melt_rate, years=0.5, channels=True, n_out=40):
+        from mpas_tpu.cores.landice.hydro import sgh_step_full
+        mesh, cfg, grid, state = dome
+        hydro = zero_hydro(mesh.nCells, n_edges=mesh.nEdges)
+        # pre-fill the till so the input reaches the sheet (the till's
+        # 2 m capacity otherwise swallows months of melt — the behavior
+        # test_till_fills_before_sheet pins)
+        hydro = hydro.replace(tillWater=jnp.full(mesh.nCells, 2.0))
+        melt = jnp.where(state.thickness > 1.0, melt_rate, 0.0)
+        speed = jnp.where(state.thickness > 1.0, 1.0e-6, 0.0)  # ~30 m/yr
+        dt = years * SECONDS_PER_YEAR / n_out
+        import jax as _jax
+        step = _jax.jit(lambda h: sgh_step_full(
+            grid, cfg, h, state.thickness, melt, speed, dt, n_sub=10,
+            channels=channels))
+        for _ in range(n_out):
+            hydro = step(hydro)
+        return mesh, cfg, grid, state, hydro
+
+    def test_pressure_bounded_and_positive_N(self, dome):
+        """Water pressure stays within [0, overburden]; effective
+        pressure is non-negative everywhere (the reference clamps)."""
+        from mpas_tpu.cores.landice.hydro import effective_pressure
+        mesh, cfg, grid, state, hydro = self._run(dome, 5.0e-10)
+        P = np.asarray(hydro.waterPressure)
+        ovb = np.asarray(cfg.rho_ice * cfg.gravity * state.thickness)
+        assert (P >= -1e-6).all() and (P <= ovb + 1e-6).all()
+        N = np.asarray(effective_pressure(cfg, hydro, state.thickness))
+        assert (N >= -1e-6).all()
+        assert np.isfinite(np.asarray(hydro.waterThickness)).all()
+
+    def test_higher_input_lowers_effective_pressure(self, dome):
+        """SHMIP suite-A signature: increasing distributed input raises
+        water pressure (lowers N) in the distributed regime."""
+        from mpas_tpu.cores.landice.hydro import effective_pressure
+        *_, state, h_lo = self._run(dome, 1.0e-10, channels=False,
+                                    years=2.0)
+        mesh, cfg, grid, state, h_hi = self._run(dome, 5.0e-9,
+                                                 channels=False,
+                                                 years=2.0)
+        interior = np.asarray(state.thickness) > 300.0
+        N_lo = np.asarray(effective_pressure(cfg, h_lo, state.thickness))
+        N_hi = np.asarray(effective_pressure(cfg, h_hi, state.thickness))
+        assert N_hi[interior].mean() < N_lo[interior].mean()
+
+    def test_channels_grow_under_high_discharge(self, dome):
+        """SHMIP suite-B signature: strong input channelizes —
+        channel area grows where discharge concentrates; weak input
+        leaves the network effectively un-channelized."""
+        *_, h_hi = self._run(dome, 2.0e-8, years=1.0)
+        *_, h_lo = self._run(dome, 1.0e-11, years=1.0)
+        s_hi = float(jnp.max(h_hi.channelArea))
+        s_lo = float(jnp.max(h_lo.channelArea))
+        # cavity-opening water gives even the weak run some incipient
+        # dissipation; the strong-input run channelizes several-fold
+        # beyond it (SHMIP A vs B contrast)
+        assert s_hi > 3.0 * max(s_lo, 1e-12), (s_hi, s_lo)
+        assert s_hi > 0.2, s_hi
+
+    def test_cavity_opening_with_sliding(self, dome):
+        """Cavity opening scales with sliding speed: a sliding bed
+        carries more water at steady state than a frozen-to-bed run."""
+        from mpas_tpu.cores.landice.hydro import sgh_step_full
+        mesh, cfg, grid, state = dome
+        melt = jnp.where(state.thickness > 1.0, 1.0e-10, 0.0)
+        import jax as _jax
+        def run(speed_val):
+            hydro = zero_hydro(mesh.nCells, n_edges=mesh.nEdges)
+            speed = jnp.where(state.thickness > 1.0, speed_val, 0.0)
+            step = _jax.jit(lambda h: sgh_step_full(
+                grid, cfg, h, state.thickness, melt, speed,
+                30.0 * 86400.0, n_sub=10))
+            for _ in range(12):
+                hydro = step(hydro)
+            return float(jnp.sum(hydro.waterThickness))
+        assert run(3.0e-6) > run(0.0)

@@ -70,3 +70,102 @@ def test_sampling_returns_containing_cell_value(channel):
     f = jnp.arange(m.nCells, dtype=jnp.float64)
     out = np.asarray(tr.sample(f))
     assert out[0] == 5.0 and out[1] == 50.0
+
+
+def test_sphere_solid_body_rotation():
+    """LIGHT on the sphere (ref: 3-D cartesian positions + tangent-plane
+    stepping): under solid-body rotation u = omega*R*cos(lat), particles
+    advance in longitude at omega, hold latitude, and stay on the
+    sphere."""
+    from mpas_tpu.mesh.sphere import icosahedral_mesh
+    mesh = icosahedral_mesh(8, lloyd_iters=1)
+    m = jax.tree.map(jnp.asarray, mesh)
+    R = m.sphere_radius
+    omega = 1.0e-6                      # rad/s
+    # normal velocity of zonal solid-body flow at edges
+    u_zon = omega * R * jnp.cos(m.latEdge)
+    un = u_zon * jnp.cos(m.angleEdge)
+    u = jnp.broadcast_to(un[:, None], (m.nEdges, 3))
+
+    cells = [10, 200, 400]
+    xs = np.asarray(m.xCell)[cells]
+    ys = np.asarray(m.yCell)[cells]
+    zs = np.asarray(m.zCell)[cells]
+    lat0 = np.arcsin(zs / R)
+    lon0 = np.arctan2(ys, xs)
+    tr = ParticleTracker(m, xs, ys, z0=zs)
+    dt = 3600.0
+    n = 24
+    for _ in range(n):
+        tr.step(u, dt)
+    X = np.asarray(tr.state.x)
+    Y = np.asarray(tr.state.y)
+    Z = np.asarray(tr.state.z3)
+    r = np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    assert np.allclose(r, R, rtol=1e-10)            # stays on the sphere
+    lat1 = np.arcsin(Z / r)
+    lon1 = np.arctan2(Y, X)
+    dlon = (lon1 - lon0 + np.pi) % (2 * np.pi) - np.pi
+    # interpolated speed on the coarse 642-cell mesh is within ~15%
+    assert np.allclose(dlon, omega * dt * n, rtol=0.2)
+    assert np.allclose(lat1, lat0, atol=0.03)
+
+
+def test_fixed_z_level_mode(channel):
+    """fixedZLevel vertical treatment: the sampled layer follows the
+    prescribed depth through the thickness column."""
+    grid, state = channel
+    m = grid.mesh
+    h = state.layerThickness                       # (nC, nz)
+    htot = float(jnp.sum(h[0]))
+    nz = h.shape[1]
+    xs = np.asarray(m.xCell)[[50]]
+    ys = np.asarray(m.yCell)[[50]]
+    # depth in the middle of the bottom layer
+    d_bot = htot * (nz - 0.5) / nz
+    tr = ParticleTracker(m, xs, ys, vertical_mode="fixedZLevel",
+                         depth=np.asarray([d_bot]))
+    u = jnp.zeros((m.nEdges, nz))
+    tr.step(u, 600.0, layer_thickness=h)
+    assert int(tr.state.layer[0]) == nz - 1
+    tr2 = ParticleTracker(m, xs, ys, vertical_mode="fixedZLevel",
+                          depth=np.asarray([0.1 * htot / nz]))
+    tr2.step(u, 600.0, layer_thickness=h)
+    assert int(tr2.state.layer[0]) == 0
+
+
+def test_isopycnal_mode(channel):
+    """isopycnal treatment: the particle relocates to the layer whose
+    potential density matches its target."""
+    grid, state = channel
+    m = grid.mesh
+    nz = state.layerThickness.shape[1]
+    # synthetic stable density profile, uniform in the horizontal
+    rho_prof = 1025.0 + 0.5 * jnp.arange(nz)
+    rho = jnp.broadcast_to(rho_prof, (m.nCells, nz))
+    xs = np.asarray(m.xCell)[[60]]
+    ys = np.asarray(m.yCell)[[60]]
+    tgt = float(rho_prof[2])
+    tr = ParticleTracker(m, xs, ys, vertical_mode="isopycnal",
+                         target_rho=np.asarray([tgt]))
+    tr.step(jnp.zeros((m.nEdges, nz)), 600.0,
+            layer_thickness=state.layerThickness, density=rho)
+    assert int(tr.state.layer[0]) == 2
+
+
+def test_passive_float_mode(channel):
+    """passiveFloat: the particle depth advects with the vertical
+    velocity (upwelling shoals the particle)."""
+    grid, state = channel
+    m = grid.mesh
+    nz = state.layerThickness.shape[1]
+    htot = float(jnp.sum(state.layerThickness[0]))
+    xs = np.asarray(m.xCell)[[70]]
+    ys = np.asarray(m.yCell)[[70]]
+    tr = ParticleTracker(m, xs, ys, vertical_mode="passiveFloat",
+                         depth=np.asarray([0.6 * htot]))
+    w_up = jnp.full((m.nCells, nz + 1), 1.0e-3)     # m/s upward
+    d0 = float(tr.state.depth[0])
+    tr.step(jnp.zeros((m.nEdges, nz)), 3600.0,
+            layer_thickness=state.layerThickness, w_vert=w_up)
+    assert float(tr.state.depth[0]) < d0
