@@ -526,7 +526,6 @@ def kf_eta(th, qv, p, rho, z, dz, exner, dt, w0avg=None, u=None, v=None,
     pptliq, pptice = prof["pptliq"], prof["pptice"]
     qliq_u, qice_u, qdt = prof["qliq"], prof["qice"], prof["qdt"]
     dilfrc = prof["dilfrc"]
-    st_abe = sel("st", None) if False else None
     abe = jnp.take_along_axis(jnp.stack([c["st"].abe for c in cands]),
                               pick[None, :], axis=0)[0]
     let = jnp.take_along_axis(jnp.stack(
@@ -602,8 +601,6 @@ def kf_eta(th, qv, p, rho, z, dz, exner, dt, w0avg=None, u=None, v=None,
     pptliq2 = jnp.where(below, 0.0, pptliq2)
     pptice2 = jnp.where(below, 0.0, pptice2)
     above_top = lev > ltop[:, None]
-    for name in ():
-        pass
     umf2 = jnp.where(above_top, 0.0, umf2)
     uer2 = jnp.where(above_top, 0.0, uer2)
     udr2 = jnp.where(above_top, 0.0, udr2)
