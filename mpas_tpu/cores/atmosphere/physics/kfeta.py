@@ -89,20 +89,32 @@ def thetae(t, q, p, tlcl):
 
 
 def _thes_sat(t, p):
-    """theta_e of a saturated parcel at (t, p)."""
-    return thetae(t, qsat(t, p), p, t)
+    """theta_e of a saturated parcel at (t, p). qs is capped at 0.1
+    kg/kg: past the p - es floor (stratospheric p with a warm iterate)
+    the uncapped qs blows thetae's exponential to inf and the Newton
+    difference to inf - inf = NaN."""
+    return thetae(t, jnp.minimum(qsat(t, p), 0.1), p, t)
 
 
 def wetbulb(p, thes, t_guess=None):
     """Invert thes = thetae(T, qs(T), p) for T (ref TPMIX2DD lookup ->
-    Newton iteration here). Returns (T, qs(T,p))."""
-    t = jnp.full_like(thes, 280.0) if t_guess is None else t_guess
+    Newton iteration here). Returns (T, qs(T,p)).
+
+    The iterate is clamped to [140, 340] K: at stratospheric pressures
+    the saturated theta_e exceeds any tropospheric thes and the
+    inversion has no root (the reference's lookup table simply saturates
+    at its edge, TPMIX2 'OUT OF BOUNDS'); the clamped result is only
+    ever consumed where an updraft exists (in-cloud masks / zero draft
+    mass flux), but it must stay FINITE — a NaN here reaches the
+    tendencies through 0*NaN."""
+    t = jnp.full_like(thes, 280.0) if t_guess is None else \
+        jnp.clip(t_guess, 140.0, 340.0)
     for _ in range(NEWTON_ITERS):
         f = _thes_sat(t, p) - thes
         dt = 0.5
         df = (_thes_sat(t + dt, p) - _thes_sat(t - dt, p)) / (2 * dt)
-        t = t - f / jnp.maximum(df, 1e-3)
-    return t, qsat(t, p)
+        t = jnp.clip(t - f / jnp.maximum(df, 1e-3), 140.0, 340.0)
+    return t, jnp.minimum(qsat(t, p), 0.1)
 
 
 def tpmix(p, thes, qu, qliq, qice, t_guess):
@@ -430,12 +442,16 @@ def kf_eta(th, qv, p, rho, z, dz, exner, dt, w0avg=None, u=None, v=None,
         above = (ar[None, :] >= lc)
         cum = jnp.cumsum(jnp.where(above, dp, 0.0), axis=1)
         usl = above & (cum - dp <= DPMIN) & (ar[None, :] < nz - 4)
-        dpthmx = jnp.sum(jnp.where(usl, dp, 0.0), axis=1)
+        # guard: a candidate starting too high has an empty USL; the
+        # trigger can never fire there, but the averages must stay finite
+        dpthmx = jnp.maximum(jnp.sum(jnp.where(usl, dp, 0.0), axis=1),
+                             1.0)
         kpbl = jnp.sum(usl.astype(jnp.int32), axis=1) - 1 + lc
         wgt = jnp.where(usl, dp, 0.0) / dpthmx[:, None]
-        tmix = jnp.sum(wgt * t0, axis=1)
+        empty = jnp.sum(usl, axis=1) == 0   # candidate starts too high
+        tmix = jnp.where(empty, 200.0, jnp.sum(wgt * t0, axis=1))
         qmix = jnp.maximum(jnp.sum(wgt * qv, axis=1), 1e-9)
-        pmix = jnp.sum(wgt * p, axis=1)
+        pmix = jnp.where(empty, 5.0e4, jnp.sum(wgt * p, axis=1))
         zmix = jnp.sum(wgt * z, axis=1)
         tlcl = tlcl_bolton(tmix, qmix, pmix)
         zlcl = zmix + (tmix - tlcl) * CP / G
@@ -489,7 +505,10 @@ def kf_eta(th, qv, p, rho, z, dz, exner, dt, w0avg=None, u=None, v=None,
                                     2.0e3 + 100.0 * (tlcl - 273.0),
                                     2.0e3))
         none_ok = (ltop <= klcl) | (ltop <= kpbl) \
-            | (jnp.clip(st.let, 0, nz - 1) + 1 <= kpbl) | ~trig
+            | (jnp.clip(st.let, 0, nz - 1) + 1 <= kpbl) | ~trig \
+            | (ltop >= nz - 2)   # cloud would exit the model top
+        # (ref :658 'WOULD GO OFF TOP': such columns are rejected —
+        # otherwise draft mass flux through the lid leaks column energy)
         deep = ~none_ok & (cldhgt > chmin) & (st.abe > 1.0)
         shallow_ok = ~none_ok & ~deep
         return dict(prof=prof, st=st, deep=deep, shallow=shallow_ok,

@@ -164,16 +164,46 @@ class TestConvection:
         assert np.all(np.asarray(cape) > 100.0)
 
     def test_convection_dries_and_rains_with_energy_balance(self):
-        z, dz, t, p, exner, th, rho, qv = _column(lapse=0.0085, qv0=0.018)
-        th1, qv1, rain, cape = kf_convection(th, qv, p, rho, z, dz, exner,
-                                             300.0)
+        """Full KF-eta on an unstable moist column: rains, dries the
+        column, and the column moist-static-energy change balances the
+        latent release of the fallen precipitation plus detrained
+        condensate to ~20% (the full scheme redistributes sensible heat
+        through compensating subsidence, so the skeleton-era exact
+        cp dT = -Lv dqv identity no longer holds pointwise)."""
+        from mpas_tpu.cores.atmosphere.physics.convection import \
+            kf_convection_full
+        # a deep column (25 km top): the full scheme rejects clouds that
+        # would exit the model lid (ref module_cu_kfeta.F:658), so the
+        # 10-km _column cannot host the deep updraft this test needs
+        nzc = 40
+        zc = jnp.linspace(100.0, 25000.0, nzc)
+        z = jnp.broadcast_to(zc, (_N, nzc))
+        dz = jnp.broadcast_to(jnp.gradient(zc), (_N, nzc))
+        zm = 800.0
+        tt = jnp.where(zc < zm, 301.5 - 9.8e-3 * zc,
+                       jnp.where(zc < 16000.0,
+                                 301.5 - 9.8e-3 * zm - 6.2e-3 * (zc - zm),
+                                 301.5 - 9.8e-3 * zm
+                                 - 6.2e-3 * (16000.0 - zm)
+                                 + 2.0e-3 * (zc - 16000.0)))
+        t = jnp.broadcast_to(tt, (_N, nzc))
+        p = 1.013e5 * jnp.exp(-z / 7600.0)
+        exner = (p / 1.0e5) ** (287.0 / cp)
+        th = t / exner
+        rho = p / (287.0 * t)
+        qv = 0.017 * jnp.exp(-z / 2500.0)
+        out = kf_convection_full(th, qv, p, rho, z, dz, exner, 300.0)
+        th1, qv1, rain = out["th"], out["qv"], out["raincv_m"]
+        assert np.all(np.isfinite(np.asarray(th1)))
         assert np.all(np.asarray(rain) > 0.0)
-        assert np.all(np.asarray(jnp.sum(qv1, axis=1))
-                      < np.asarray(jnp.sum(qv, axis=1)))
-        # latent heating consistency: cp dT = -Lv dqv columnwise
-        dh = jnp.sum((th1 - th) * exner * cp * rho * dz, axis=1)
-        dq = jnp.sum((qv1 - qv) * rho * dz, axis=1) * 2.5e6
-        assert np.allclose(np.asarray(dh), -np.asarray(dq), rtol=1e-6)
+        assert np.all(np.asarray(jnp.sum(qv1 * rho * dz, axis=1))
+                      < np.asarray(jnp.sum(qv * rho * dz, axis=1)))
+        dh = np.asarray(jnp.sum((th1 - th) * exner * cp * rho * dz,
+                                axis=1))
+        dq = np.asarray(jnp.sum((qv1 - qv + out["qc_detr"]
+                                 + out["qi_detr"]) * rho * dz, axis=1))
+        resid = np.abs(dh + 2.5e6 * dq) / np.maximum(np.abs(dh), 1.0)
+        assert np.all(resid < 0.25), resid.max()
 
     def test_stable_sounding_no_rain(self):
         z, dz, t, p, exner, th, rho, qv = _column(lapse=0.004, qv0=0.004)
