@@ -291,3 +291,78 @@ class TestColumnIntegration:
             assert np.all(np.isfinite(arr)), name
         assert np.all(np.asarray(out.iceAreaCategory) >= 0.0)
         assert float(out.iceAge.max()) > 1.0e5  # aged where ice persists
+
+
+class TestAlgalDyn3Group:
+    """Three-group algal dynamics (ref ice_algae.F90 algal_dyn with the
+    Registry default parameter set)."""
+
+    def _run(self, sw=20.0, no3=10.0, nh4=1.0, sio3=20.0, dt=3600.0,
+             steps=1, t=-1.8):
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.bgc import algal_dyn
+        a = jnp.full((2, 3), 0.5)
+        NO3 = jnp.full(2, no3); NH4 = jnp.full(2, nh4)
+        SI = jnp.full(2, sio3); DON = jnp.zeros(2)
+        for _ in range(steps):
+            a, NO3, NH4, SI, DON, g = algal_dyn(
+                a, NO3, NH4, SI, DON, jnp.full(2, sw),
+                jnp.full(2, t), dt)
+        return a, NO3, NH4, SI, DON, g
+
+    def test_diatoms_dominate_bottom_ice(self):
+        """Published growth ordering (mu_max 1.44/0.41/0.63 per day):
+        diatoms outgrow the flagellate groups under replete nutrients."""
+        import numpy as np
+        a, *_ = self._run(steps=48)
+        a = np.asarray(a[0])
+        assert a[0] > a[1] and a[0] > a[2], a
+
+    def test_silicate_limitation_selects_against_diatoms(self):
+        """Si starvation (K_Si = 4 mmol/m3 for diatoms, 0 for the
+        others) halts diatom growth while small plankton continue."""
+        import numpy as np
+        a_lo, *_ = self._run(sio3=0.05, steps=48)
+        a_hi, *_ = self._run(sio3=20.0, steps=48)
+        a_lo = np.asarray(a_lo[0]); a_hi = np.asarray(a_hi[0])
+        assert a_lo[0] < 0.25 * a_hi[0]          # diatoms crippled
+        assert a_lo[1] > 0.9 * a_hi[1]           # small plankton fine
+
+    def test_phaeocystis_photoinhibited_at_high_light(self):
+        """The Phaeocystis inhibition parameter (0.04 vs 0.001 1/(W/m2))
+        reverses its light response at strong PAR."""
+        import numpy as np
+        _, _, _, _, _, g_lo = self._run(sw=5.0)
+        _, _, _, _, _, g_hi = self._run(sw=120.0)
+        # diatoms grow faster at high light; Phaeocystis slower
+        assert float(g_hi[0, 0]) > float(g_lo[0, 0])
+        assert float(g_hi[0, 2]) < float(g_lo[0, 2])
+
+    def test_nh4_preference_and_nitrogen_budget(self):
+        """NH4 is drawn preferentially; total N (algae + NO3 + NH4 + DON)
+        closes to the grazed export at roundoff."""
+        import numpy as np
+        import jax.numpy as jnp
+        from mpas_tpu.cores.seaice.bgc import algal_dyn, GRAZED_G
+        a0 = jnp.full((1, 3), 0.5)
+        NO3, NH4 = jnp.full(1, 5.0), jnp.full(1, 2.0)
+        SI, DON = jnp.full(1, 20.0), jnp.zeros(1)
+        a1, no1, nh1, si1, don1, g = algal_dyn(
+            a0, NO3, NH4, SI, DON, jnp.full(1, 30.0),
+            jnp.full(1, -1.8), 7200.0)
+        d_nh4 = float(NH4[0] - nh1[0])
+        d_no3 = float(NO3[0] - no1[0])
+        # preference: NH4 supplies a disproportionate share of uptake
+        assert d_nh4 > 0.0
+        grazed = float(jnp.sum(jnp.asarray(GRAZED_G) * g))
+        total0 = float(jnp.sum(a0) + NO3[0] + NH4[0] + DON[0])
+        total1 = float(jnp.sum(a1) + no1[0] + nh1[0] + don1[0])
+        assert abs(total0 - (total1 + grazed)) < 1e-6 * total0
+
+    def test_dark_and_cold_suppress_growth(self):
+        import numpy as np
+        _, _, _, _, _, g_dark = self._run(sw=0.0)
+        assert float(np.max(np.asarray(g_dark))) == 0.0
+        _, _, _, _, _, g_warm = self._run(t=-1.0)
+        _, _, _, _, _, g_cold = self._run(t=-15.0)
+        assert float(g_cold[0, 0]) < float(g_warm[0, 0])
