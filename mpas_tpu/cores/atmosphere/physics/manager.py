@@ -203,7 +203,7 @@ def physics_step(grid, cfg: PhysicsConfig, mesh, recon_coeffs,
         from mpas_tpu.cores.atmosphere.physics.cam_radiation import (cam_lw,
                                                                      cam_sw)
         lw_tend, glw, _olr = cam_lw(t, qv, qc, rho, dz, phys.tsk)
-        sw_tend, gsw = cam_sw(qv, qc, rho, dz, mu, cfg.albedo)
+        sw_tend, gsw = cam_sw(qv, qc, rho, dz, mu, cfg.albedo, t=t)
     else:
         lw_tend, glw, _olr = radiation_lw(t, qv, qc, rho, dz, phys.tsk)
         sw_tend, gsw = radiation_sw(qv, qc, rho, dz, mu, cfg.albedo)
