@@ -140,3 +140,131 @@ class TestBEP:
                                          cd_building=1.0)
         assert np.all(np.asarray(u2) >= 0.0)
         assert np.all(np.isfinite(np.asarray(u2)))
+
+
+class TestSLUCMDeep:
+    """Round-5 fidelity additions: canyon air, stability, latent heat."""
+
+    def test_canyon_air_between_facets_and_atm(self):
+        """TC is the flux-weighted blend of TA, TG, TB (the diagnostic
+        canyon-air solution of module_sf_urban.F:1340-1346)."""
+        st = urban.init_urban_state(2, t0=305.0)
+        t_air, wind, swdown, lwdown, mu = _forcing(n=2, sunny=True)
+        for _ in range(12):
+            st, diag = urban.slucm_step(st, t_air, wind, swdown, lwdown,
+                                        mu, dt=300.0)
+        tc = np.asarray(diag["tc_canyon"])
+        lo = np.minimum(np.asarray(t_air),
+                        np.minimum(np.asarray(st.ts_road),
+                                   np.asarray(st.ts_wall)))
+        hi = np.maximum(np.asarray(t_air),
+                        np.maximum(np.asarray(st.ts_road),
+                                   np.asarray(st.ts_wall)))
+        assert np.all(tc >= lo - 1e-6) and np.all(tc <= hi + 1e-6)
+
+    def test_louis79_stability_asymmetry(self):
+        """Unstable (negative Ri) exchange exceeds stable at the same
+        wind (the Louis-79 surface-layer behavior)."""
+        import jax.numpy as jnp
+        ch_un = float(urban._louis79(jnp.asarray(-1.0), 10.0, 0.1))
+        ch_st = float(urban._louis79(jnp.asarray(0.5), 10.0, 0.1))
+        ch_n = float(urban._louis79(jnp.asarray(0.0), 10.0, 0.1))
+        assert ch_un > ch_n > ch_st > 0.0
+
+    def test_rain_wet_surfaces_evaporate(self):
+        """Rain switches the road/roof wet fractions on (IMP_SCHEME=1
+        BETR/BETG=0.7): latent flux appears, sensible drops."""
+        st = urban.init_urban_state(2, t0=302.0)
+        t_air, wind, swdown, lwdown, mu = _forcing(n=2, sunny=True)
+        rain = jnp.full((2,), 5.0)
+        st_d = st_w = st
+        for _ in range(12):
+            st_d, d_dry = urban.slucm_step(st_d, t_air, wind, swdown,
+                                           lwdown, mu, dt=300.0)
+            st_w, d_wet = urban.slucm_step(st_w, t_air, wind, swdown,
+                                           lwdown, mu, dt=300.0,
+                                           rain_mmh=rain)
+        assert float(jnp.min(d_wet["lh_urban"])) > \
+            float(jnp.max(d_dry["lh_urban"])) + 10.0
+        assert float(jnp.max(st_w.ts_road)) < float(jnp.min(st_d.ts_road))
+
+    def test_8dir_shadow_average(self):
+        """The 8-orientation shadow equals the analytic <|sin|>=2/pi mean
+        in the unsaturated regime."""
+        import jax.numpy as jnp
+        got = float(urban._shadow_fraction_8dir(
+            jnp.asarray(0.2), jnp.asarray(1.0), jnp.asarray(0.8)))
+        tanz = np.sqrt(1 - 0.64) / 0.8
+        angles = np.arange(1, 9) * np.pi / 8
+        expect = np.mean(np.minimum(0.2 * tanz * np.abs(np.sin(angles)),
+                                    1.0))
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def test_urbparm_classes_ranked(self):
+        """Commercial class (3) has taller/denser morphology and more
+        anthropogenic heat than low-intensity residential (1)."""
+        p1 = urban.URBPARM_TABLE[1]
+        p3 = urban.URBPARM_TABLE[3]
+        assert p3.ah_peak > p1.ah_peak
+        assert p3.roof_frac > p1.roof_frac
+        assert p3.zr > p1.zr
+
+
+class TestBEMDeep:
+    def test_hvac_band_and_waste_heat(self):
+        """Indoor air is held inside the target band; cooling load
+        produces canyon waste heat amplified by 1+1/COP."""
+        st = urban.init_urban_state(2, t0=308.0)
+        st = st.replace(t_indoor=jnp.full((2,), 305.0),
+                        t_mass=jnp.full((2,), 305.0))
+        t_air, wind, swdown, lwdown, mu = _forcing(n=2, sunny=True)
+        for _ in range(24):
+            st, diag = urban.slucm_step(st, t_air, wind, swdown, lwdown,
+                                        mu, dt=300.0)
+        assert float(jnp.max(st.t_indoor)) <= 295.0 + 2.0 + 1e-6
+        assert float(jnp.min(diag["q_ac"])) > 0.0
+
+    def test_window_gain_heats_interior(self):
+        """More glazing -> larger cooling load under strong sun."""
+        pr_hi = urban.UrbanParams(glazing=0.5)
+        pr_lo = urban.UrbanParams(glazing=0.0, q_internal=0.0)
+        t_air, wind, swdown, lwdown, mu = _forcing(n=1, sunny=True)
+        s_hi = s_lo = urban.init_urban_state(1, t0=300.0)
+        for _ in range(24):
+            s_hi, d_hi = urban.slucm_step(s_hi, t_air, wind, swdown,
+                                          lwdown, mu, dt=300.0,
+                                          params=pr_hi)
+            s_lo, d_lo = urban.slucm_step(s_lo, t_air, wind, swdown,
+                                          lwdown, mu, dt=300.0,
+                                          params=pr_lo)
+        assert float(d_hi["q_ac"][0]) > float(d_lo["q_ac"][0])
+
+
+class TestBEPDeep:
+    def test_height_distribution_drag_tapers(self):
+        """With a height distribution, drag weakens with height as fewer
+        buildings reach the level (BEP morphology)."""
+        n, nz = 1, 8
+        z = jnp.broadcast_to(jnp.linspace(2.0, 30.0, nz), (n, nz))
+        u = jnp.full((n, nz), 5.0)
+        v = jnp.zeros((n, nz))
+        u2, _, tke = urban.bep_column_drag(
+            u, v, z, dt=120.0, height_bins=(5.0, 15.0, 25.0),
+            height_fractions=(0.5, 0.3, 0.2))
+        du = 5.0 - np.asarray(u2)[0]
+        assert du[0] > du[4] > du[7] >= 0.0
+
+    def test_heat_sources_sign_and_distribution(self):
+        """Hot walls heat in-canopy levels; levels above the tallest bin
+        receive nothing."""
+        n, nz = 1, 6
+        z_int = jnp.broadcast_to(jnp.linspace(0.0, 60.0, nz + 1),
+                                 (n, nz + 1))
+        t_col = jnp.full((n, nz), 300.0)
+        src = urban.bep_heat_sources(
+            z_int, ts_wall=jnp.full((n,), 310.0),
+            ts_road=jnp.full((n,), 312.0),
+            ts_roof=jnp.full((n,), 315.0), t_col=t_col)
+        s = np.asarray(src)[0]
+        assert s[0] > 0.0            # road + wall heating at the bottom
+        assert np.all(s[3:] == 0.0)  # above 15 m tallest bin (interfaces 30+)
