@@ -156,13 +156,72 @@ class TestGWD:
             assert -1.0 <= s_rough[k][0] <= 1.0
 
     def test_asymmetry_sign(self):
-        """Terrain rising to the east -> OA1 (W-E asymmetry) positive."""
+        """Terrain rising to the east -> OA1 negative (the reference's
+        get_oa1 counts nu in the WEST half: mpas_init_atm_gwd.F)."""
         ny = nx = 64
         ii = np.arange(nx)[None, :] * np.ones((ny, 1))
         ramp = 10.0 * ii
         s = gwd_statics(ramp, np.asarray([32.0]), np.asarray([32.0]))
-        assert s["oa1"][0] > 0.3
+        assert s["oa1"][0] < -0.3
         assert abs(s["oa2"][0]) < 0.1
+        # and rising to the north -> OA2 negative (nu = south half)
+        jjr = np.arange(ny)[:, None] * np.ones((1, nx))
+        s2 = gwd_statics(10.0 * jjr, np.asarray([32.0]),
+                         np.asarray([32.0]))
+        assert s2["oa2"][0] < -0.3
+
+    def test_ol_critical_height(self):
+        """OL uses hc = 1116.2 - 0.878*var2d: terrain entirely below hc
+        gives OL=0; a tall plateau in the middle rows raises OL1."""
+        ny = nx = 64
+        low = 50.0 * np.ones((ny, nx))     # var2d=0 -> hc=1116.2 > 50
+        s = gwd_statics(low, np.asarray([32.0]), np.asarray([32.0]))
+        for k in ("ol1", "ol2", "ol3", "ol4"):
+            assert s[k][0] == 0.0
+        # 800 m plateau: var2d=400 -> hc ~ 765 m discriminates plateau
+        # from plain (a 4000 m plateau drives hc negative and saturates
+        # every OL at 1 — the reference's linear-hc behavior)
+        plateau = np.zeros((ny, nx))
+        plateau[24:40, :] = 800.0           # middle rows of the 32-box
+        s2 = gwd_statics(plateau, np.asarray([32.0]), np.asarray([32.0]),
+                         half=16)
+        assert s2["ol1"][0] > 0.9           # middle-row band is high
+        assert s2["ol1"][0] > s2["ol2"][0]  # ol2 sees mostly low ground
+        assert abs(s2["ol2"][0] - 0.5) < 0.1
+
+    def test_con_water_dominated_zero(self):
+        """Water-dominated boxes have convexity zeroed (WATER landuse
+        logic of get_con)."""
+        from mpas_tpu.cores.init_atmosphere.gwd import WATER
+        ny = nx = 32
+        rng = np.random.default_rng(3)
+        topo = 200.0 * rng.standard_normal((ny, nx))
+        lu_water = np.full((ny, nx), WATER)
+        lu_land = np.ones((ny, nx))
+        s_w = gwd_statics(topo, np.asarray([16.0]), np.asarray([16.0]),
+                          landuse=lu_water)
+        s_l = gwd_statics(topo, np.asarray([16.0]), np.asarray([16.0]),
+                          landuse=lu_land)
+        assert s_w["con"][0] == 0.0
+        assert s_l["con"][0] > 1.0          # Gaussian kurtosis ~ 3
+
+    def test_global_driver_pole_and_wrap(self):
+        """compute_gwd_fields handles longitude wrap and pole
+        reflection; box sizes grow toward the poles (latitude
+        correction) and statistics stay finite/bounded."""
+        from mpas_tpu.cores.init_atmosphere.gwd import compute_gwd_fields
+        topo_y, topo_x = 60, 120
+        rng = np.random.default_rng(5)
+        topo = 300.0 * rng.standard_normal((topo_y, topo_x))
+        lat = np.asarray([-89.0, 0.0, 89.0, 45.0])
+        lon = np.asarray([-179.9, 179.9, 0.0, 10.0])
+        dc = np.full(4, 1.2e6)              # large boxes
+        out = compute_gwd_fields(topo, None, lat, lon, dc)
+        for k, v in out.items():
+            assert np.all(np.isfinite(v)), k
+        assert np.all(out["var2d"] > 0.0)
+        for k in ("oa1", "oa2", "oa3", "oa4"):
+            assert np.all(np.abs(out[k]) <= 1.0)
 
 
 def _synthetic_gfs_full(tmp_path, nx=72, ny=37):
@@ -297,3 +356,65 @@ class TestRealCaseDepth:
         assert np.all(np.isfinite(th))
         assert np.all(np.isfinite(np.asarray(out.state.u)))
         assert np.abs(np.asarray(out.state.u)).max() < 150.0
+
+
+class TestStaticAggregation:
+    """Pixel-push static-field aggregation (mpas_init_atm_static.F:
+    TER mean :320-369, LU/SOILCAT dominant category :420-555,
+    consistency fixups :561-588)."""
+
+    def _mesh4(self):
+        lat_c = np.deg2rad(np.asarray([0.0, 0.0, 10.0, 10.0]))
+        lon_c = np.deg2rad(np.asarray([0.0, 10.0, 0.0, 10.0]))
+        return lat_c, lon_c
+
+    def test_terrain_cell_average(self):
+        from mpas_tpu.cores.init_atmosphere import static as st
+        lat_c, lon_c = self._mesh4()
+        rng = np.random.default_rng(0)
+        lat_p = np.deg2rad(rng.uniform(-5, 15, 6000))
+        lon_p = np.deg2rad(rng.uniform(-5, 15, 6000))
+        vals = np.where(lat_p > np.deg2rad(5.0), 1000.0, 100.0)
+        m, cnt = st.pixel_push_mean(lat_p, lon_p, vals, lat_c, lon_c)
+        assert cnt.sum() == 6000
+        np.testing.assert_allclose(m[:2], 100.0, atol=25.0)
+        np.testing.assert_allclose(m[2:], 1000.0, atol=25.0)
+
+    def test_dominant_category_skips_zero(self):
+        from mpas_tpu.cores.init_atmosphere import static as st
+        lat_c, lon_c = self._mesh4()
+        lat_p = np.deg2rad(np.asarray([0.0, 0.1, -0.1, 0.05, 9.9]))
+        lon_p = np.deg2rad(np.asarray([0.0, 0.1, -0.1, 0.05, 9.9]))
+        cats = np.asarray([0, 7, 7, 3, 5])   # zeros dropped (ref :418)
+        dom, hist = st.pixel_push_dominant(lat_p, lon_p, cats,
+                                           lat_c, lon_c, 24)
+        assert dom[0] == 7                   # 2x cat7 beats 1x cat3
+        assert dom[3] == 5
+        assert hist[0].sum() == 3            # the zero pixel is gone
+
+    def test_water_consistency_both_ways(self):
+        from mpas_tpu.cores.init_atmosphere import static as st
+        # cell 0: water in LU only; cell 1: water in soil only;
+        # cell 2: land-ice LU forces ice soil; cell 3: consistent land
+        lu = np.asarray([16, 3, 24, 5])
+        sc = np.asarray([4, 14, 7, 8])
+        lu2, sc2, lm = st.landuse_consistency(lu, sc)
+        assert sc2[0] == 14 and lu2[1] == 16     # both become water
+        assert sc2[2] == 16                      # isice soil category
+        assert list(lm) == [0, 0, 1, 1]
+
+    def test_soiltemp_lapse(self):
+        from mpas_tpu.cores.init_atmosphere import static as st
+        t = st.soiltemp_adjust(np.asarray([285.0, 285.0, 285.0]),
+                               np.asarray([0.0, 1000.0, 3000.0]),
+                               np.asarray([1, 1, 0]))
+        np.testing.assert_allclose(t[:2], [285.0, 278.5])
+        assert t[2] == 0.0                       # water cell zeroed
+
+    def test_shd_min_max(self):
+        from mpas_tpu.cores.init_atmosphere import static as st
+        g = np.stack([np.full(3, 0.2), np.full(3, 0.8),
+                      np.full(3, 0.5)], axis=-1)
+        lo, hi = st.shd_min_max(g)
+        np.testing.assert_allclose(lo, 0.2)
+        np.testing.assert_allclose(hi, 0.8)
