@@ -40,9 +40,15 @@ class LiConfig:
     config_surface_air_temperature: float = 268.15   # K
     config_geothermal_flux: float = 0.042            # W/m2 upward
 
-    # calving (ref: config_calving 'none'|'floating'|'thickness_threshold')
+    # calving (ref: config_calving 'none'|'floating'|
+    # 'thickness_threshold'|'topographic_threshold'|'eigencalving',
+    # mpas_li_calving.F:198-276)
     config_calving: str = "none"
     config_calving_thickness: float = 100.0          # m
+    config_calving_topography: float = -500.0        # m bed threshold
+    # eigencalving parameter K (m s; ref
+    # config_calving_eigencalving_parameter_scalar_value)
+    config_calving_eigencalving_k: float = 1.0e17
 
     # physical constants (ref: src/core_landice/shared li_constants)
     rho_ice: float = 910.0

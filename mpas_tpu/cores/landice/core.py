@@ -245,10 +245,24 @@ def thermal_solve(grid: LiGrid, cfg: LiConfig, thickness, temperature, dt):
     return jnp.where(thickness[:, None] > 1.0, t_new, temperature)
 
 
-def calve(grid: LiGrid, cfg: LiConfig, thickness, calving_flux):
-    """ref: mpas_li_calving.F criteria."""
+def calve(grid: LiGrid, cfg: LiConfig, thickness, calving_flux,
+          u_int=None, dt=None):
+    """ref: mpas_li_calving.F li_calve_ice dispatch (:198-276); the
+    eigencalving/topographic variants live in calving.py."""
     if cfg.config_calving == "none":
         return thickness, calving_flux
+    if cfg.config_calving == "topographic_threshold":
+        from mpas_tpu.cores.landice.calving import topographic_calving
+        return topographic_calving(
+            grid, cfg, thickness, calving_flux,
+            bed_threshold=cfg.config_calving_topography)
+    if cfg.config_calving == "eigencalving":
+        from mpas_tpu.cores.landice.calving import eigencalving
+        u_mean = jnp.mean(u_int, axis=1) if u_int is not None else \
+            jnp.zeros((grid.mesh.nEdges,), thickness.dtype)
+        return eigencalving(grid, cfg, thickness, u_mean, dt,
+                            calving_flux,
+                            k_eigen=cfg.config_calving_eigencalving_k)
     floating = (cfg.rho_ice * thickness
                 < -cfg.rho_seawater * jnp.minimum(grid.bedTopography, 0.0))
     if cfg.config_calving == "floating":
@@ -287,7 +301,7 @@ def fe_step(grid: LiGrid, cfg: LiConfig, state: LiState, dt,
         t, w, bmr = thermal_solve_enthalpy(grid, cfg, h, t,
                                            state.waterFrac, dt)
         out = out.replace(waterFrac=w, basalMeltRate=bmr)
-    h, cf = calve(grid, cfg, h, state.calvingFlux)
+    h, cf = calve(grid, cfg, h, state.calvingFlux, u_int=u_int, dt=dt)
     return out.replace(thickness=h, temperature=t,
                        normalVelocity=u_int, calvingFlux=cf)
 

@@ -24,7 +24,9 @@ _T0 = 273.15
 C_ICE = 2009.0          # J/kg/K (ref li constants)
 L_FUS = 3.35e5          # J/kg
 K_COLD = 2.1            # W/m/K
-NU_TEMPERATE = 1.1e-8   # kg/m/s moisture diffusivity (small)
+# temperate-ice enthalpy diffusivity = cold diffusivity / 100
+# (ref enthalpy_matrix_elements, mpas_li_thermal.F:2416-2417)
+KAPPA_TEMPERATE_RATIO = 0.01
 BETA_CC = 9.8e-8        # Clausius-Clapeyron K/Pa
 W_MAX = 0.01            # drainage threshold liquid fraction
 
@@ -97,9 +99,11 @@ def thermal_solve_enthalpy(grid, cfg, thickness, temperature, waterFrac,
 
     for _ in range(2):    # Picard passes over the cold/temperate switch
         temperate = E >= e_pmp
-        # diffusivity in enthalpy space: cold k/(rho c); temperate nu/rho
-        kappa = jnp.where(temperate, NU_TEMPERATE / rho,
-                          K_COLD / (rho * C_ICE))           # m2/s
+        # diffusivity in enthalpy space: cold k/(rho c); temperate is
+        # cold/100 (ref mpas_li_thermal.F:2416-2417)
+        kappa_cold = K_COLD / (rho * C_ICE)
+        kappa = jnp.where(temperate, KAPPA_TEMPERATE_RATIO * kappa_cold,
+                          kappa_cold)                       # m2/s
         k_int = 2.0 * kappa[:, :-1] * kappa[:, 1:] / jnp.maximum(
             kappa[:, :-1] + kappa[:, 1:], 1e-20)
         g_int = k_int / (0.5 * (dz[:, :-1] + dz[:, 1:]))
