@@ -114,15 +114,16 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
     rho_edge = 0.5 * (rho_zz[c1] + rho_zz[c2])
     ke_edge = (mesh.dcEdge * mesh.dvEdge)[:, None] * u * u
 
-    # u and ke_edge ride one packed row gather per stencil family
+    # u and ke_edge ride one packed row-gather round per stencil family,
+    # slot-major (no (nC, mE, nz) intermediates)
     u_eov, ke_eov = _rows_gather(mesh.edgesOnVertex, [u, ke_edge])
-    u_eoc, ke_eoc = _rows_gather(mesh.edgesOnCell, [u, ke_edge])
     vorticity = jnp.sum(mesh.curlW[..., None] * u_eov, axis=1) \
         * mesh.invAreaTriangle[:, None]
-    divergence = jnp.sum(mesh.divW[..., None] * u_eoc, axis=1) \
-        * mesh.invAreaCell[:, None]
-    ke = 0.25 * jnp.sum(mesh.edgesOnCellMask[..., None] * ke_eoc, axis=1) \
-        * mesh.invAreaCell[:, None]
+    div_s, ke_s = _slot_weighted_sums(
+        mesh.edgesOnCell, [u, ke_edge],
+        [mesh.divW, mesh.edgesOnCellMask.astype(u.dtype)])
+    divergence = div_s * mesh.invAreaCell[:, None]
+    ke = 0.25 * ke_s * mesh.invAreaCell[:, None]
 
     # Hollingsworth correction (ref :5607-5652): blend cell KE with
     # vertex-remapped KE, ke_fact = 1 - 0.375. Mask padded edgesOnVertex
@@ -166,12 +167,18 @@ def solve_diagnostics(grid: AtmGrid, cfg: AtmConfig, u, rho_zz, dt,
 def smagorinsky_kdiff(grid: AtmGrid, cfg: AtmConfig, u, v, dt):
     """2d_smagorinsky eddy viscosity (ref :4668-4690)."""
     mesh = grid.mesh
-    ue = u[mesh.edgesOnCell]
-    ve = v[mesh.edgesOnCell]
-    d_diag = jnp.sum(grid.defc_a[..., None] * ue
-                     - grid.defc_b[..., None] * ve, axis=1)
-    d_off = jnp.sum(grid.defc_b[..., None] * ue
-                    + grid.defc_a[..., None] * ve, axis=1)
+    nz = u.shape[-1]
+    cat = jnp.concatenate([u, v], axis=-1)
+    rT = mesh.edgesOnCell.T
+    d_diag = 0.0
+    d_off = 0.0
+    for s in range(rT.shape[0]):
+        g = cat[rT[s]]
+        gu, gv = g[:, :nz], g[:, nz:]
+        a = grid.defc_a[:, s][:, None]
+        b = grid.defc_b[:, s][:, None]
+        d_diag = d_diag + a * gu - b * gv
+        d_off = d_off + b * gu + a * gv
     ls = cfg.config_smagorinsky_coef * cfg.config_len_disp
     return jnp.minimum(ls * ls * jnp.sqrt(d_diag ** 2 + d_off ** 2),
                        0.01 * cfg.config_len_disp ** 2 / dt)
@@ -184,9 +191,13 @@ def reconstruct_cell_winds(grid: AtmGrid, u):
     mpas_atm_time_integration.F:4343).
 
     Returns (ur_cell, vr_cell) with shape (nCells, nz)."""
-    ue = u[grid.mesh.edgesOnCell]                       # (nC, mE, nz)
-    ur = jnp.sum(grid.recon_zonal[..., None] * ue, axis=1)
-    vr = jnp.sum(grid.recon_merid[..., None] * ue, axis=1)
+    rT = grid.mesh.edgesOnCell.T
+    ur = 0.0
+    vr = 0.0
+    for s in range(rT.shape[0]):
+        g = u[rT[s]]
+        ur = ur + grid.recon_zonal[:, s][:, None] * g
+        vr = vr + grid.recon_merid[:, s][:, None] * g
     return ur, vr
 
 
@@ -256,8 +267,8 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     inv_r_earth = 1.0 / mesh.sphere_radius if mesh.on_sphere else 0.0
 
     # --- h_divergence (ref :4706-4729) -------------------------------------
-    h_divergence = jnp.sum(mesh.divW[..., None] * ru[mesh.edgesOnCell],
-                           axis=1) * mesh.invAreaCell[:, None]
+    (h_div_s,) = _slot_weighted_sums(mesh.edgesOnCell, [ru], [mesh.divW])
+    h_divergence = h_div_s * mesh.invAreaCell[:, None]
 
     # --- rk_step 1: tend_rho, dpdz, kdiff (ref :4737-4766) -----------------
     if rk_step == 1:
@@ -394,17 +405,18 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
             * (mesh.dvEdge * mesh.invDcEdge)[:, None] * diag.rho_edge
         pr_scale = mesh.meshScalingDel2[:, None] / 1.0  # prandtl = 1
         mixth = dth * kdiffu * pr_scale
-        gdu, gwf, gmx, gth, gmth = _rows_gather(
-            mesh.edgesOnCell, [delsq_u, wflux, wflux_mix, dth, mixth])
-        sgn_eoc = mesh.edgeSignOnCell[..., None]
         inva = mesh.invAreaCell[:, None]
-        delsq_w = jnp.sum(sgn_eoc * gwf, axis=1) * inva
-        tend_w_euler_mix = jnp.sum(sgn_eoc * gmx, axis=1) * inva
-        delsq_theta = jnp.sum(sgn_eoc * gth, axis=1) * inva
-        tend_theta_euler_mix = jnp.sum(sgn_eoc * gmth, axis=1) * inva
+        sgn_w = mesh.edgeSignOnCell
+        dsum, wsum, mxsum, thsum, mthsum = _slot_weighted_sums(
+            mesh.edgesOnCell, [delsq_u, wflux, wflux_mix, dth, mixth],
+            [mesh.divW, sgn_w, sgn_w, sgn_w, sgn_w])
+        delsq_w = wsum * inva
+        tend_w_euler_mix = mxsum * inva
+        delsq_theta = thsum * inva
+        tend_theta_euler_mix = mthsum * inva
         pb = []
         if h_mom_visc4 > 0.0:
-            delsq_div = jnp.sum(mesh.divW[..., None] * gdu, axis=1) * inva
+            delsq_div = dsum * inva
             delsq_vort = jnp.sum(mesh.curlW[..., None]
                                  * delsq_u[mesh.edgesOnVertex], axis=1) \
                 * mesh.invAreaTriangle[:, None]
@@ -426,11 +438,13 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
             dst = (dst2 - dst1) * (mesh.dvEdge * mesh.invDcEdge)[:, None]
             pc.append(dst)
         if pc:
-            it_c = iter(_rows_gather(mesh.edgesOnCell, pc))
-            gd4 = next(it_c) if h_mom_visc4 > 0.0 else None
-            gds = next(it_c) if h_theta_visc4 > 0.0 else None
-        if h_mom_visc4 > 0.0 or h_theta_visc4 > 0.0:
             ms4_eoc = mesh.meshScalingDel4[mesh.edgesOnCell]
+            w_d4 = mesh.edgeSignOnCell * ms4_eoc
+            sums_c = _slot_weighted_sums(mesh.edgesOnCell, pc,
+                                         [w_d4] * len(pc))
+            it_c = iter(sums_c)
+            d4w_sum = next(it_c) if h_mom_visc4 > 0.0 else None
+            d4t_sum = next(it_c) if h_theta_visc4 > 0.0 else None
 
         if h_mom_visc4 > 0.0:  # u del4 (ref :4884-4947)
             ms4 = mesh.meshScalingDel4[:, None] * h_mom_visc4
@@ -516,8 +530,7 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
         tend_w_euler = tend_w_euler_mix
         if h_mom_visc4 > 0.0:
             tend_w_euler = tend_w_euler - h_mom_visc4 \
-                * jnp.sum((mesh.edgeSignOnCell * ms4_eoc)[..., None]
-                          * gd4, axis=1) * mesh.invAreaCell[:, None]
+                * d4w_sum * mesh.invAreaCell[:, None]
         tend_w_euler = tend_w_euler.at[:, 0].set(0.0).at[:, nz].set(0.0)
     else:
         tend_w_euler = euler.tend_w_euler
@@ -587,17 +600,16 @@ def compute_dyn_tend(grid: AtmGrid, cfg: AtmConfig, rk_step: int, dt,
     if rk_step > 1 and DBG["thpickup"]:  # perturbation-flux pickup (ref :5252-5266)
         th_save_edge = 0.5 * (ths1 + ths2)
         pf_e = (mesh.dvEdge[:, None] * (ru_save - ru) * th_save_edge)
-        gpf = pf_e[mesh.edgesOnCell]
-        tend_theta = tend_theta \
-            - jnp.sum(mesh.edgeSignOnCell[..., None] * gpf, axis=1)
+        (pf_sum,) = _slot_weighted_sums(mesh.edgesOnCell, [pf_e],
+                                        [mesh.edgeSignOnCell])
+        tend_theta = tend_theta - pf_sum
 
     if rk_step == 1:  # theta mixing (ref :5272-5310) — stencils from the
         # consolidated packed-gather block above
         tend_theta_euler = tend_theta_euler_mix
         if h_theta_visc4 > 0.0:
-            tend_theta_euler = tend_theta_euler - h_theta_visc4 * jnp.sum(
-                (mesh.edgeSignOnCell * ms4_eoc)[..., None] * gds,
-                axis=1) * mesh.invAreaCell[:, None]
+            tend_theta_euler = tend_theta_euler - h_theta_visc4 \
+                * d4t_sum * mesh.invAreaCell[:, None]
         if cfg.config_v_theta_eddy_visc2 > 0.0:  # (ref :5342-5381)
             zmid = 0.5 * (grid.zgrid[:, :-1] + grid.zgrid[:, 1:])
             dzp = zmid[:, 2:] - zmid[:, 1:-1]
@@ -668,6 +680,32 @@ def _pair_gather(c1, c2, fields):
         outs.append((g1[:, o:o + k], g2[:, o:o + k]))
         o += k
     return outs
+
+
+def _slot_weighted_sums(rows, fields, weights):
+    """sum_s weights_i[:, s, None] * fields_i[rows[:, s]] for each i,
+    slot-major: per edge-slot rank-2 gathers of the PACKED fields via the
+    transposed row table, so no (nRows, width, K) intermediate is ever
+    materialized. Measured on v5e (PERF.md round 5): each materialized
+    (nC, mE, 26) gather costs ~0.5 ms of 6->8 x 26->128 tile padding;
+    the per-slot rank-2 gathers fuse into the consuming accumulation
+    (same-chip A/B on the transport path: +8.8%% whole-step).
+
+    rows (nR, mS) index table; fields list of (nSrc, K_i); weights list
+    of (nR, mS), one per field (may repeat the same array).
+    Returns the list of (nR, K_i) weighted sums.
+    """
+    ks = [f.shape[-1] for f in fields]
+    cat = jnp.concatenate(fields, axis=-1) if len(fields) > 1 else fields[0]
+    rT = rows.T
+    accs = [0.0] * len(fields)
+    for s in range(rT.shape[0]):
+        g = cat[rT[s]]
+        o = 0
+        for i, k in enumerate(ks):
+            accs[i] = accs[i] + weights[i][:, s][:, None] * g[:, o:o + k]
+            o += k
+    return accs
 
 
 def _rows_gather(rows, fields):
@@ -914,10 +952,11 @@ def acoustic_step(grid: AtmGrid, cfg: AtmConfig, coefs: VertImpCoefs,
     # through the gather and the reduction (2 ms per multiply_reduce in
     # the trace); per-row gather cost is flat up to 128 lanes, so two
     # single-tile-row gathers are the cheapest shape
-    sgn = mesh.edgeSignOnCell[..., None]
     coefc = (dts * mesh.invAreaCell)[:, None]
-    rs_flux = -jnp.sum(sgn * flux_r[mesh.edgesOnCell], axis=1) * coefc
-    ts_flux = -jnp.sum(sgn * flux_t[mesh.edgesOnCell], axis=1) * coefc
+    rsum, tsum = _slot_weighted_sums(mesh.edgesOnCell, [flux_r, flux_t],
+                                     [mesh.edgeSignOnCell] * 2)
+    rs_flux = -rsum * coefc
+    ts_flux = -tsum * coefc
 
     from mpas_tpu.kernels import acoustic_kernel_enabled
     if acoustic_kernel_enabled(nz):
